@@ -1,0 +1,384 @@
+"""Paillier / DJN scheme layer — keygen, encrypt, decrypt on TPU.
+
+TPU-native re-design of the capabilities the reference consumes from the
+external IPCL C++ core (intel/pailliercryptolib, fetched by
+/root/reference/lib/ipcl.cmake:30-35):
+
+* keygen        — ipcl::generateKeypair: host-side prime search
+                  (Miller-Rabin over Python ints; OS entropy), DJN setup.
+* encrypt       — ipcl::PublicKey::encrypt: c = (1 + m*n) * obf mod n^2
+                  with the g = n+1 shortcut; obfuscator hs^r (DJN, short
+                  exponent) or r^n (plain Paillier).  Batched on device;
+                  the DJN obfuscator uses a per-key fixed-base comb table
+                  so an encryption costs zero squarings.
+* decrypt       — ipcl::PrivateKey::decrypt: CRT-accelerated (mod p^2 and
+                  mod q^2 exponentiations run fused in ONE batched kernel
+                  of width 2B using per-element moduli).
+* CT ops        — ciphertext add = modmul, ciphertext*plaintext = modexp,
+                  re-randomization (applyObfuscator).
+
+Ciphertexts live on device as uint32[L, B] limb arrays in the Montgomery
+domain mod n^2 and only leave it at serialization/decryption boundaries.
+"""
+
+from __future__ import annotations
+
+import secrets
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import limb
+from ..ops.limb import (
+    LIMB_BITS, LIMB_DTYPE, int_to_limbs, ints_to_limbs, limbs_to_ints,
+    limbs_for_bits, big_mul, normalize, cond_sub,
+)
+from ..ops import montgomery as mg
+from ..ops.reduction import exact_div
+
+# Window sizes: 4-bit windows for per-element-base exponentiation (table is
+# (16, L, B) — VMEM/HBM friendly); 8-bit windows for the fixed-base comb
+# (table is per-key, shared across the batch).
+WINDOW = 4
+COMB_WINDOW = 8
+
+# Batch padding granularity: lanes are 128 wide; small test batches pad to 8.
+def pad_batch(b: int) -> int:
+    if b <= 8:
+        return 8
+    step = 8 if b < 128 else 128
+    return -(-b // step) * step
+
+
+# ---------------------------------------------------------------------------
+# Host-side keygen (SURVEY.md §3.1).  Prime search uses OS entropy +
+# Miller-Rabin on Python ints (CPython pow is C-speed); this mirrors the
+# role of IPP-Crypto's primality search in ipcl::generateKeypair.
+# ---------------------------------------------------------------------------
+
+_SMALL_PRIMES = [3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53,
+                 59, 61, 67, 71, 73, 79, 83, 89, 97, 101, 103, 107, 109, 113]
+
+
+def is_probable_prime(n: int, rounds: int = 30) -> bool:
+    if n < 2:
+        return False
+    for p in _SMALL_PRIMES:
+        if n % p == 0:
+            return n == p
+    d = n - 1
+    r = 0
+    while d % 2 == 0:
+        d //= 2
+        r += 1
+    for _ in range(rounds):
+        a = secrets.randbelow(n - 3) + 2
+        x = pow(a, d, n)
+        if x == 1 or x == n - 1:
+            continue
+        for _ in range(r - 1):
+            x = x * x % n
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def generate_prime(bits: int) -> int:
+    while True:
+        cand = secrets.randbits(bits) | (1 << (bits - 1)) | 1
+        if is_probable_prime(cand):
+            return cand
+
+
+def generate_key_ints(n_length: int = 1024, enable_DJN: bool = True) -> dict:
+    """Generate raw key material as Python ints.
+
+    Matches ipcl::generateKeypair semantics: p, q of n_length/2 bits each,
+    retried until n = p*q has exactly n_length bits; DJN setup draws x,
+    h = -x^2 mod n, hs = h^n mod n^2, with obfuscator exponents of
+    randbits = n_length//2 bits.
+    """
+    half = n_length // 2
+    while True:
+        p = generate_prime(half)
+        q = generate_prime(half)
+        if p == q:
+            continue
+        n = p * q
+        if n.bit_length() == n_length:
+            break
+    out = {"n": n, "p": p, "q": q, "enable_DJN": enable_DJN, "bits": n_length}
+    if enable_DJN:
+        nsq = n * n
+        x = secrets.randbelow(n - 1) + 1
+        h = (-(x * x)) % n
+        out["hs"] = pow(h, n, nsq)
+        out["randbits"] = half
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Public (encryption) context.
+# ---------------------------------------------------------------------------
+
+class PublicContext:
+    """Device-side state for one public key: Montgomery ctx mod n^2 and the
+    lazily-built fixed-base comb table for the DJN obfuscator."""
+
+    def __init__(self, n: int, bits: int | None = None,
+                 enable_DJN: bool = True, hs: int | None = None,
+                 randbits: int | None = None):
+        self.n = n
+        self.bits = bits or n.bit_length()
+        self.nsquare = n * n
+        self.enable_DJN = enable_DJN and hs is not None
+        self.hs = hs
+        self.randbits = randbits if randbits else (self.bits // 2)
+        self.ctx = mg.MontCtx.for_modulus(self.nsquare)   # mod n^2
+        self.L = self.ctx.num_limbs
+        self.Ln = limbs_for_bits(self.bits)
+        self.n_limbs = jnp.asarray(int_to_limbs(n, self.Ln)[:, None])
+        # windows for exponents < n (ct*pt path)
+        self.n_win_ct = -(-self.bits // WINDOW)
+        # windows for the plain-Paillier obfuscator exponent (= n)
+        self._n_digits = None
+        self._comb = None
+
+    # -- lazily built per-key device tables --------------------------------
+
+    @property
+    def comb_table(self):
+        """Comb table for hs: T[j][d] = hs^(d*2^(8j)) mod n^2 (Montgomery)."""
+        if self._comb is None:
+            if not self.enable_DJN:
+                raise ValueError("comb_table: DJN disabled for this key")
+            hs_m = mg.to_mont(
+                jnp.asarray(int_to_limbs(self.hs % self.nsquare, self.L)[:, None]),
+                self.ctx)
+            ladder = mg.build_pow2_ladder(hs_m, self.ctx, self.randbits)
+            self._comb = mg.build_comb_table(ladder, self.ctx, COMB_WINDOW)
+        return self._comb
+
+    @property
+    def n_exp_digits(self):
+        """MSB-first WINDOW-bit digits of n (plain-Paillier obfuscator r^n)."""
+        if self._n_digits is None:
+            self._n_digits = jnp.asarray(
+                mg.exponent_digits([self.n], self.n_win_ct, WINDOW)[:, 0])
+        return self._n_digits
+
+    # -- encodings host<->device -------------------------------------------
+
+    def encodings_to_device(self, encodings: list) -> jnp.ndarray:
+        """List of B ints (mod n) -> (Ln, B_pad) canonical device limbs."""
+        B = pad_batch(len(encodings))
+        arr = ints_to_limbs(list(encodings) + [0] * (B - len(encodings)), self.Ln)
+        return jnp.asarray(arr)
+
+    # -- core ops ------------------------------------------------------------
+
+    def encrypt_raw(self, m_limbs: jnp.ndarray) -> jnp.ndarray:
+        """(1 + m*n) mod n^2 in Montgomery form.  m_limbs: (Ln, B) < n."""
+        return _encrypt_raw(m_limbs, self.n_limbs, self.ctx, self.L)
+
+    def sample_obfuscator_digits(self, b: int) -> jnp.ndarray:
+        """Random DJN exponents r (randbits bits) as LSB-first comb digits."""
+        B = pad_batch(b)
+        n_win = self.comb_table.shape[0]
+        rs = [secrets.randbits(self.randbits) for _ in range(B)]
+        return jnp.asarray(
+            mg.exponent_digits(rs, n_win, COMB_WINDOW, msb_first=False))
+
+    def obfuscate(self, ct_mont: jnp.ndarray) -> jnp.ndarray:
+        """Multiply in a fresh obfuscator (re-randomization / applyObfuscator,
+        reference ipcl_python.py:97-101,342-346)."""
+        B = ct_mont.shape[1]
+        if self.enable_DJN:
+            digits = self.sample_obfuscator_digits(B)
+            return mg.mont_exp_fixed_base(self.comb_table, digits, self.ctx,
+                                          acc0=ct_mont)
+        # plain Paillier: obf = r^n, r random in [1, n)
+        rs = [secrets.randbelow(self.n - 1) + 1 for _ in range(B)]
+        r = jnp.asarray(ints_to_limbs(rs, self.L))
+        r_m = mg.to_mont(r, self.ctx)
+        obf = mg.mont_exp(r_m, jnp.broadcast_to(self.n_exp_digits[:, None],
+                                                (self.n_win_ct, B)),
+                          self.ctx, window=WINDOW)
+        return mg.mont_mul(ct_mont, obf, self.ctx)
+
+    def encrypt(self, encodings: list, apply_obfuscator: bool = True) -> jnp.ndarray:
+        """Full encrypt: encodings (list of ints mod n) -> Montgomery cts."""
+        m = self.encodings_to_device(encodings)
+        ct = self.encrypt_raw(m)
+        if apply_obfuscator:
+            ct = self.obfuscate(ct)
+        return ct
+
+    def add_ct(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """HE addition: ciphertext modmul mod n^2 (both Montgomery)."""
+        return mg.mont_mul(a, b, self.ctx)
+
+    def mul_pt(self, ct: jnp.ndarray, exponents: list) -> jnp.ndarray:
+        """HE ct*pt: ct^e per element.  exponents: list of B ints >= 0.
+
+        Digits are padded to the canonical mod-n window count and the
+        kernel skips leading zero windows, so small exponents (the common
+        case after the negative-plaintext rewrite) cost proportionally.
+        """
+        B = ct.shape[1]
+        exps = list(exponents) + [0] * (B - len(exponents))
+        maxbits = max((int(e).bit_length() for e in exps), default=1)
+        n_win_needed = max(1, -(-maxbits // WINDOW))
+        digits = mg.exponent_digits(exps, self.n_win_ct, WINDOW)
+        win_start = self.n_win_ct - n_win_needed
+        return mg.mont_exp(ct, jnp.asarray(digits), self.ctx, window=WINDOW,
+                           win_start=win_start)
+
+    def export_cts(self, ct_mont: jnp.ndarray, b: int) -> list:
+        """Montgomery cts -> canonical Python ints (for pickle/getTexts)."""
+        plain = mg.from_mont(ct_mont, self.ctx)
+        return limbs_to_ints(np.asarray(plain))[:b]
+
+    def import_cts(self, cts: list) -> jnp.ndarray:
+        """Canonical ciphertext ints -> Montgomery device array."""
+        B = pad_batch(len(cts))
+        # pad with 1s (valid ciphertext of 0) to keep values in range
+        arr = ints_to_limbs(list(cts) + [1] * (B - len(cts)), self.L)
+        return mg.to_mont(jnp.asarray(arr), self.ctx)
+
+
+@partial(jax.jit, static_argnames=("L",))
+def _encrypt_raw(m_limbs, n_limbs, ctx, L):
+    mn = big_mul(m_limbs, n_limbs, out_limbs=L)
+    ct = normalize(mn.at[0].add(1))
+    return mg.to_mont(ct, ctx)
+
+
+# ---------------------------------------------------------------------------
+# Private (decryption) context — fused-CRT batched decryption.
+# ---------------------------------------------------------------------------
+
+class PrivateContext:
+    def __init__(self, pub: PublicContext, p: int, q: int):
+        if p * q != pub.n:
+            raise ValueError("PrivateContext: p*q != n")
+        self.pub = pub
+        self.p, self.q = p, q
+        n = pub.n
+        # Half-width limb counts for mod p^2/q^2 and mod p/q work.
+        self.Lh = limbs_for_bits(max((p * p).bit_length(),
+                                     (q * q).bit_length()) + 2)
+        self.Lq = limbs_for_bits(max(p.bit_length(), q.bit_length()) + 2)
+        Lh, Lq = self.Lh, self.Lq
+        psq, qsq = p * p, q * q
+        Rh = 1 << (LIMB_BITS * Lh)     # Montgomery R for the p^2/q^2 domain
+        Rq = 1 << (LIMB_BITS * Lq)     # Montgomery R for the p/q domain
+
+        # h_p = L_p(g^{p-1} mod p^2)^{-1} mod p with g = n+1.
+        g = n + 1
+        self.hp = pow((pow(g, p - 1, psq) - 1) // p, -1, p)
+        self.hq = pow((pow(g, q - 1, qsq) - 1) // q, -1, q)
+        self.pinv_mod_q = pow(p, -1, q)
+
+        # Per-element Montgomery contexts ([p^2]*B ++ [q^2]*B and
+        # [p]*B ++ [q]*B) are built lazily per batch width — the whole CRT
+        # runs as ONE fused batch of width 2B.
+        self._sq_ctx_cache = {}
+        self._pq_ctx_cache = {}
+        self._q_ctx = mg.MontCtx.for_modulus(q, min_bits=LIMB_BITS * Lq)
+
+        # exponents p-1, q-1 as MSB-first digits (padded to same length)
+        ebits = max((p - 1).bit_length(), (q - 1).bit_length())
+        self.n_win_dec = -(-ebits // WINDOW)
+        dig = mg.exponent_digits([p - 1, q - 1], self.n_win_dec, WINDOW)
+        self.exp_digits_pq = jnp.asarray(dig)  # (n_win, 2)
+
+        # R^3 mod p^2 / q^2: one modmul turns a wide-REDC output (c*R^{-1})
+        # directly into the Montgomery form c*R.
+        self.r3_p = jnp.asarray(int_to_limbs(pow(Rh, 3, psq), Lh)[:, None])
+        self.r3_q = jnp.asarray(int_to_limbs(pow(Rh, 3, qsq), Lh)[:, None])
+        # exact-division inverses: p^{-1}, q^{-1} mod 2^(16*Lq)
+        self.pinv_R = jnp.asarray(int_to_limbs(pow(p, -1, Rq), Lq)[:, None])
+        self.qinv_R = jnp.asarray(int_to_limbs(pow(q, -1, Rq), Lq)[:, None])
+        # Montgomery-form multipliers (x*R mod m) so t*h costs ONE modmul.
+        self.hpR = jnp.asarray(int_to_limbs(self.hp * Rq % p, Lq)[:, None])
+        self.hqR = jnp.asarray(int_to_limbs(self.hq * Rq % q, Lq)[:, None])
+        self.pinvqR = jnp.asarray(
+            int_to_limbs(self.pinv_mod_q * Rq % q, Lq)[:, None])
+        self.p_limbs = jnp.asarray(int_to_limbs(p, Lq)[:, None])
+        self.q_limbs = jnp.asarray(int_to_limbs(q, Lq)[:, None])
+
+    def _sq_ctx(self, B: int) -> mg.MontCtx:
+        if B not in self._sq_ctx_cache:
+            self._sq_ctx_cache[B] = mg.MontCtx.for_moduli(
+                [self.p * self.p] * B + [self.q * self.q] * B, self.Lh)
+        return self._sq_ctx_cache[B]
+
+    def _pq_ctx(self, B: int) -> mg.MontCtx:
+        if B not in self._pq_ctx_cache:
+            self._pq_ctx_cache[B] = mg.MontCtx.for_moduli(
+                [self.p] * B + [self.q] * B, self.Lq)
+        return self._pq_ctx_cache[B]
+
+    def decrypt_to_ints(self, ct_mont: jnp.ndarray, b: int) -> list:
+        """Batched CRT decrypt: Montgomery cts mod n^2 -> plaintext ints.
+
+        The mod-p^2 and mod-q^2 exponentiations run FUSED as one batch of
+        width 2B using per-element moduli — on TPU one wide batch keeps
+        the vector lanes full (the reference backend runs them as separate
+        CPU loops inside ipcl::PrivateKey::decrypt).
+        """
+        pub = self.pub
+        from ..ops.limb import sub_mod_base
+
+        ct = mg.from_mont(ct_mont, pub.ctx)        # canonical, < n^2
+        B = ct.shape[1]
+        Lh, Lq, Ln = self.Lh, self.Lq, pub.Ln
+
+        # Reduce mod p^2 / q^2 by wide Montgomery reduction (exact), then
+        # one modmul by R^3 lands the residue in Montgomery form.
+        sq_ctx = self._sq_ctx(B)
+        ct2 = jnp.concatenate([ct, ct], axis=1)    # (L, 2B)
+        w = mg.mont_reduce_wide(ct2, sq_ctx)       # c * R^{-1}, < 2m
+        r3 = jnp.concatenate([jnp.broadcast_to(self.r3_p, (Lh, B)),
+                              jnp.broadcast_to(self.r3_q, (Lh, B))], axis=1)
+        base_m = mg.mont_mul(w, r3, sq_ctx)        # c * R (Montgomery form)
+
+        digits = jnp.concatenate([
+            jnp.broadcast_to(self.exp_digits_pq[:, 0:1], (self.n_win_dec, B)),
+            jnp.broadcast_to(self.exp_digits_pq[:, 1:2], (self.n_win_dec, B)),
+        ], axis=1)
+        u = mg.mont_exp(base_m, digits, sq_ctx, window=WINDOW)
+        u = mg.from_mont(u, sq_ctx)                # c^{p-1} mod p^2 | mod q^2
+
+        # L(u) = (u-1)/p via exact Hensel division (u ≡ 1 mod p/q).
+        one_arr = jnp.zeros((Lh, 1), dtype=LIMB_DTYPE).at[0, 0].set(1)
+        um1 = sub_mod_base(u, one_arr)
+        dinv = jnp.concatenate([jnp.broadcast_to(self.pinv_R, (Lq, B)),
+                                jnp.broadcast_to(self.qinv_R, (Lq, B))], axis=1)
+        t = exact_div(um1, dinv, Lq)               # (Lq, 2B) L-values, < p/q
+
+        # m_p = t*h_p mod p ; m_q = t*h_q mod q: one Montgomery modmul each
+        # since h is stored as h*R.
+        pq_ctx = self._pq_ctx(B)
+        hR = jnp.concatenate([jnp.broadcast_to(self.hpR, (Lq, B)),
+                              jnp.broadcast_to(self.hqR, (Lq, B))], axis=1)
+        mpq = mg.mont_mul(t, hR, pq_ctx)           # t*h mod m, < 2m
+        mpq = cond_sub(mpq, pq_ctx.n_limbs)
+        mp, mq = mpq[:, :B], mpq[:, B:]
+
+        # CRT recombine: m = m_p + p * ((m_q - m_p) * p^{-1} mod q)
+        mp_mod_q = cond_sub(mp, self.q_limbs)      # m_p < p < 2q
+        q_minus = sub_mod_base(jnp.broadcast_to(self.q_limbs, (Lq, B)), mp_mod_q)
+        diff = cond_sub(normalize(mq + q_minus), self.q_limbs)
+        u2 = mg.mont_mul(diff, self.pinvqR, self._q_ctx)
+        u2 = cond_sub(u2, self.q_limbs)            # (Lq, B) < q
+        pu = big_mul(u2, self.p_limbs, out_limbs=Ln)
+        mp_pad = jnp.concatenate(
+            [mp, jnp.zeros((Ln - Lq, B), dtype=LIMB_DTYPE)], axis=0)
+        m = normalize(pu + mp_pad)                 # < n
+        return limbs_to_ints(np.asarray(m))[:b]

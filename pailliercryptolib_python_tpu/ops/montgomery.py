@@ -1,0 +1,373 @@
+"""Batched Montgomery arithmetic over 16-bit-limb arrays (TPU-native).
+
+This module is the TPU replacement for the reference's hot kernel — the
+AVX512IFMA multi-buffer modular exponentiation ``mbx_exp_mb8`` consumed by
+intel/pailliercryptolib (see /root/reference/README.md:32,38-42).  Where
+the Xeon path is 8-way SIMD over 52-bit lanes, this path is B-way
+data-parallel over (L, B) limb arrays: limbs in sublanes, the ciphertext
+batch in the TPU's 128-wide vector lanes.
+
+Algorithm: CIOS (coarsely integrated operand scanning) Montgomery
+multiplication with carry-save accumulators.  Each of the L iterations
+does two (L, B) 32-bit multiplies and a handful of adds/shifts; carries
+are only resolved once at the end with a data-parallel fixpoint pass.
+Using Walter's bound (R > 4n, inputs < 2n => output < 2n) we never need a
+conditional subtraction inside chains of modmuls — only when leaving the
+Montgomery domain.
+
+Per-element moduli are supported (modulus shape (L, B) instead of (L, 1)),
+which lets CRT decryption batch the mod-p^2 and mod-q^2 exponentiations in
+a single kernel call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .limb import (
+    LIMB_BITS,
+    LIMB_MASK,
+    LIMB_DTYPE,
+    normalize,
+    cond_sub,
+    int_to_limbs,
+    limbs_for_bits,
+)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class MontCtx:
+    """Montgomery context for a (batch of) odd modulus(es).
+
+    Arrays are limb-major: shape (L, 1) for a modulus shared across the
+    batch, or (L, B) for per-element moduli.
+    """
+
+    n_limbs: jnp.ndarray   # (L, 1) or (L, B) canonical limbs of n
+    n0inv: jnp.ndarray     # (1,) or (B,): -n^{-1} mod 2^16
+    r2: jnp.ndarray        # R^2 mod n  (to enter the Montgomery domain)
+    one: jnp.ndarray       # R mod n    (Montgomery representation of 1)
+
+    def tree_flatten(self):
+        return (self.n_limbs, self.n0inv, self.r2, self.one), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def num_limbs(self) -> int:
+        return self.n_limbs.shape[0]
+
+    @classmethod
+    def for_modulus(cls, n: int, min_bits: int | None = None) -> "MontCtx":
+        """Build a shared-modulus context on the host (one-time per key).
+
+        L is sized so R = 2^(16L) > 4n (two spare bits) — Walter's bound.
+        """
+        bits = max(n.bit_length() + 2, min_bits or 0)
+        L = limbs_for_bits(bits)
+        R = 1 << (LIMB_BITS * L)
+        n0inv = (-pow(n, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+        r2 = (R * R) % n
+        one = R % n
+        return cls(
+            n_limbs=jnp.asarray(int_to_limbs(n, L)[:, None]),
+            n0inv=jnp.asarray(np.array([n0inv], dtype=np.uint32)),
+            r2=jnp.asarray(int_to_limbs(r2, L)[:, None]),
+            one=jnp.asarray(int_to_limbs(one, L)[:, None]),
+        )
+
+    @classmethod
+    def for_moduli(cls, ns: list, L: int) -> "MontCtx":
+        """Per-element moduli context: ns is a list of B odd moduli."""
+        B = len(ns)
+        R = 1 << (LIMB_BITS * L)
+        nl = np.empty((B, L), dtype=np.uint32)
+        r2 = np.empty((B, L), dtype=np.uint32)
+        one = np.empty((B, L), dtype=np.uint32)
+        n0 = np.empty((B,), dtype=np.uint32)
+        for i, n in enumerate(ns):
+            if 4 * n >= R:
+                raise ValueError("MontCtx.for_moduli: modulus too large for L")
+            nl[i] = int_to_limbs(n, L)
+            r2[i] = int_to_limbs((R * R) % n, L)
+            one[i] = int_to_limbs(R % n, L)
+            n0[i] = (-pow(n, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+        return cls(
+            n_limbs=jnp.asarray(np.ascontiguousarray(nl.T)),
+            n0inv=jnp.asarray(n0),
+            r2=jnp.asarray(np.ascontiguousarray(r2.T)),
+            one=jnp.asarray(np.ascontiguousarray(one.T)),
+        )
+
+
+@jax.jit
+def mont_mul(a: jnp.ndarray, b: jnp.ndarray, ctx: MontCtx) -> jnp.ndarray:
+    """Montgomery product a*b*R^{-1} mod n, batched.
+
+    a, b: (L, B) or (L, 1) canonical limbs, values < 2n.
+    Returns (L, B) canonical limbs, value < 2n (no conditional subtract —
+    Walter's bound keeps chains closed).
+    """
+    L = a.shape[0]
+    B = max(a.shape[1], b.shape[1], ctx.n_limbs.shape[1])
+    a = jnp.broadcast_to(a, (L, a.shape[1])).astype(LIMB_DTYPE)
+    b = jnp.broadcast_to(b, (L, B)).astype(LIMB_DTYPE)
+    n = jnp.broadcast_to(ctx.n_limbs, (L, ctx.n_limbs.shape[1]))
+    n0 = ctx.n0inv  # (1,) or (B,)
+
+    t0 = jnp.zeros((L + 2, B), dtype=LIMB_DTYPE)
+
+    def body(i, t):
+        ai = lax.dynamic_slice_in_dim(a, i, 1, axis=0)  # (1, Ba)
+        p = ai * b  # (L, B) exact 32-bit products of 16-bit limbs
+        t = t.at[:L].add(p & LIMB_MASK)
+        t = t.at[1:L + 1].add(p >> LIMB_BITS)
+        m = ((t[0] & LIMB_MASK) * n0) & LIMB_MASK  # (B,)
+        q = m[None, :] * n  # (L, B)
+        t = t.at[:L].add(q & LIMB_MASK)
+        t = t.at[1:L + 1].add(q >> LIMB_BITS)
+        carry0 = t[0] >> LIMB_BITS  # t[0] is ≡ 0 mod 2^16 now
+        t = jnp.concatenate([t[1:], jnp.zeros((1, B), dtype=LIMB_DTYPE)], axis=0)
+        t = t.at[0].add(carry0)
+        return t
+
+    t = lax.fori_loop(0, L, body, t0)
+    return normalize(t)[:L]
+
+
+def mont_sqr(a: jnp.ndarray, ctx: MontCtx) -> jnp.ndarray:
+    return mont_mul(a, a, ctx)
+
+
+@jax.jit
+def mont_reduce_wide(T: jnp.ndarray, ctx: MontCtx) -> jnp.ndarray:
+    """Montgomery reduction of a wide value: T -> T*R^{-1} mod n, < 2n.
+
+    T: (K, B) canonical limbs with value < n*R (K can exceed the modulus
+    width L — e.g. a mod-n^2 ciphertext being reduced mod p^2).  This is
+    how the framework reduces by a *smaller* modulus exactly; Barrett with
+    limb-rounded k has an unbounded quotient error, REDC does not.
+    """
+    L = ctx.num_limbs
+    K = T.shape[0]
+    B = max(T.shape[1], ctx.n_limbs.shape[1])
+    n = jnp.broadcast_to(ctx.n_limbs, (L, ctx.n_limbs.shape[1]))
+    n0 = ctx.n0inv
+    W = max(K, L + 2)
+    t = jnp.zeros((W, B), dtype=LIMB_DTYPE)
+    t = lax.dynamic_update_slice_in_dim(t, jnp.broadcast_to(T, (K, B)), 0, axis=0)
+
+    def body(_, t):
+        m = ((t[0] & LIMB_MASK) * n0) & LIMB_MASK  # (B,)
+        q = m[None, :] * n
+        t = t.at[:L].add(q & LIMB_MASK)
+        t = t.at[1:L + 1].add(q >> LIMB_BITS)
+        carry0 = t[0] >> LIMB_BITS
+        t = jnp.concatenate([t[1:], jnp.zeros((1, B), dtype=LIMB_DTYPE)], axis=0)
+        t = t.at[0].add(carry0)
+        return t
+
+    t = lax.fori_loop(0, L, body, t)
+    return normalize(t)[:L]
+
+
+def to_mont(a: jnp.ndarray, ctx: MontCtx) -> jnp.ndarray:
+    """Enter the Montgomery domain: a -> a*R mod n.  a canonical, < n."""
+    return mont_mul(a, ctx.r2, ctx)
+
+
+@jax.jit
+def from_mont(a: jnp.ndarray, ctx: MontCtx) -> jnp.ndarray:
+    """Leave the Montgomery domain and fully reduce: aR -> a mod n, < n."""
+    L = a.shape[0]
+    one_plain = jnp.zeros((L, 1), dtype=LIMB_DTYPE).at[0, 0].set(1)
+    r = mont_mul(a, one_plain, ctx)
+    return cond_sub(r, ctx.n_limbs)
+
+
+def _gather_table_per_element(table: jnp.ndarray, dig: jnp.ndarray) -> jnp.ndarray:
+    """table: (T, L, B); dig: (B,) per-element row index -> (L, B)."""
+    return jnp.take_along_axis(table, dig[None, None, :].astype(jnp.int32), axis=0)[0]
+
+
+def _build_window_table(base: jnp.ndarray, ctx: MontCtx, tsize: int,
+                        B: int) -> jnp.ndarray:
+    """T[d] = base^d (Montgomery), d in [0, tsize). (tsize, L, B)."""
+    L = base.shape[0]
+    one = jnp.broadcast_to(ctx.one, (L, B))
+    entries = [one, jnp.broadcast_to(base, (L, B))]
+    for _ in range(tsize - 2):
+        entries.append(mont_mul(entries[-1], base, ctx))
+    return jnp.stack(entries, axis=0)
+
+
+@partial(jax.jit, static_argnames=("window",))
+def mont_exp(base: jnp.ndarray, digits: jnp.ndarray, ctx: MontCtx,
+             window: int = 4, win_start=0) -> jnp.ndarray:
+    """Fixed-window modular exponentiation, per-element base and exponent.
+
+    base: (L, B) Montgomery-domain values (< 2n).
+    digits: (n_win, B) uint32, MSB-first base-2^window digits of the
+        exponents (all elements share the same digit count; zero-pad at
+        the MSB side).
+    win_start: first window index to process (traced ok).  Callers pad
+        `digits` to a canonical shape and pass win_start so one compiled
+        kernel serves every exponent bit-length — skipped leading windows
+        cost nothing.
+    Returns base^e in Montgomery domain, (L, B).
+
+    This is the TPU analog of the reference backend's multi-buffer modexp
+    (mbx_exp_mb8, /root/reference/README.md:32): the whole batch advances
+    through the same windows in lockstep, each step = `window` squarings
+    + one table-gather + one modmul.
+    """
+    L, _ = base.shape
+    B = max(base.shape[1], ctx.n_limbs.shape[1], digits.shape[1])
+    digits = jnp.broadcast_to(digits, (digits.shape[0], B))
+    n_win = digits.shape[0]
+    table = _build_window_table(base, ctx, 1 << window, B)
+
+    def body(j, acc):
+        for _ in range(window):
+            acc = mont_mul(acc, acc, ctx)
+        dig = lax.dynamic_slice_in_dim(digits, j, 1, axis=0)[0]  # (B,)
+        return mont_mul(acc, _gather_table_per_element(table, dig), ctx)
+
+    # acc starts at 1; the first processed window squares 1 (no-op) then
+    # multiplies in its digit, so no special-casing of window 0 is needed.
+    acc0 = jnp.broadcast_to(ctx.one, (L, B))
+    return lax.fori_loop(win_start, n_win, body, acc0)
+
+
+@partial(jax.jit, static_argnames=("window",))
+def mont_exp_shared(base: jnp.ndarray, digits: jnp.ndarray, ctx: MontCtx,
+                    window: int = 4, win_start=0) -> jnp.ndarray:
+    """Fixed-window modexp where the exponent is shared across the batch.
+
+    digits: (n_win,) uint32 MSB-first digits (traced — no recompile per
+    key).  Used by CRT decryption (exponent = key-dependent, base =
+    per-element ciphertext).
+    """
+    L, B = base.shape
+    table = _build_window_table(base, ctx, 1 << window, B)
+    n_win = digits.shape[0]
+
+    def body(j, acc):
+        for _ in range(window):
+            acc = mont_mul(acc, acc, ctx)
+        d = lax.dynamic_slice_in_dim(digits, j, 1, axis=0)[0].astype(jnp.int32)
+        t = lax.dynamic_index_in_dim(table, d, axis=0, keepdims=False)
+        return mont_mul(acc, t, ctx)
+
+    acc0 = jnp.broadcast_to(ctx.one, (L, B))
+    return lax.fori_loop(win_start, n_win, body, acc0)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-base comb exponentiation — the encrypt fast path.
+#
+# The DJN obfuscator hs^r (reference: external ipcl PublicKey::encrypt with
+# make_secure=True; surfaced at /root/reference/src/ipcl_python/
+# ipcl_python.py:108-147) exponentiates a base that is FIXED per key.  We
+# precompute T[j][d] = hs^(d * 2^(w*j)) once per key; an encryption then
+# costs only n_win modmuls and ZERO squarings.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("nbits",))
+def build_pow2_ladder(base_mont: jnp.ndarray, ctx: MontCtx, nbits: int) -> jnp.ndarray:
+    """P[t] = base^(2^t) (Montgomery), t in [0, nbits). Returns (nbits, L, 1)."""
+
+    def body(t, carry):
+        ladder, cur = carry
+        ladder = lax.dynamic_update_slice_in_dim(ladder, cur[None], t, axis=0)
+        return ladder, mont_mul(cur, cur, ctx)
+
+    L = base_mont.shape[0]
+    ladder0 = jnp.zeros((nbits, L, base_mont.shape[1]), dtype=LIMB_DTYPE)
+    ladder, _ = lax.fori_loop(0, nbits, body, (ladder0, base_mont))
+    return ladder
+
+
+@partial(jax.jit, static_argnames=("window",))
+def build_comb_table(ladder: jnp.ndarray, ctx: MontCtx, window: int) -> jnp.ndarray:
+    """Comb table T[j, d] = base^(d * 2^(window*j)) from the pow2 ladder.
+
+    ladder: (nbits, L, 1).  Returns (n_win, 2^window, L) — layout chosen so
+    the encrypt gather indexes rows of a (2^window, L) slab.
+    Built with `window` batched modmuls over a (L, n_win * 2^window) batch.
+    """
+    nbits, L, _ = ladder.shape
+    n_win = -(-nbits // window)
+    tsize = 1 << window
+    NE = n_win * tsize
+
+    # entry e = (j, d): value = prod over set bits s of d: ladder[w*j + s]
+    j_idx = jnp.repeat(jnp.arange(n_win), tsize)      # (NE,)
+    d_idx = jnp.tile(jnp.arange(tsize), n_win)        # (NE,)
+
+    acc = jnp.broadcast_to(ctx.one, (L, NE))
+    lad = ladder[:, :, 0]  # (nbits, L)
+    for s in range(window):
+        bit_set = (d_idx >> s) & 1  # (NE,)
+        src = jnp.clip(window * j_idx + s, 0, nbits - 1)
+        factor = lad[src].T  # (L, NE)
+        prod = mont_mul(acc, factor, ctx)
+        acc = jnp.where((bit_set == 1)[None, :], prod, acc)
+    # (L, NE) -> (n_win, tsize, L)
+    return acc.T.reshape(n_win, tsize, L)
+
+
+@jax.jit
+def mont_exp_fixed_base(comb_table: jnp.ndarray, digits: jnp.ndarray,
+                        ctx: MontCtx, acc0: jnp.ndarray | None = None) -> jnp.ndarray:
+    """prod_j T[j][digits[j]] — fixed-base exponentiation, no squarings.
+
+    comb_table: (n_win, 2^w, L); digits: (n_win, B) LSB-window-first or any
+    order matching the table's j indexing.  acc0: optional (L, B) Montgomery
+    value to fold the product into (saves one modmul for encrypt).
+    """
+    n_win, tsize, L = comb_table.shape
+    B = digits.shape[1]
+
+    def gather(j, dig):
+        slab = lax.dynamic_index_in_dim(comb_table, j, axis=0, keepdims=False)
+        # slab: (tsize, L); dig: (B,) -> (L, B)
+        return jnp.take(slab, dig.astype(jnp.int32), axis=0).T
+
+    start = 0
+    if acc0 is None:
+        acc0 = gather(0, digits[0])
+        start = 1
+
+    def body(j, acc):
+        dig = lax.dynamic_slice_in_dim(digits, j, 1, axis=0)[0]
+        return mont_mul(acc, gather(j, dig), ctx)
+
+    return lax.fori_loop(start, n_win, body, acc0)
+
+
+# ---------------------------------------------------------------------------
+# Host helpers for exponent digit extraction.
+# ---------------------------------------------------------------------------
+
+def exponent_digits(exps, n_win: int, window: int, msb_first: bool = True) -> np.ndarray:
+    """Base-2^window digits of Python-int exponents -> (n_win, B) uint32."""
+    B = len(exps)
+    out = np.zeros((n_win, B), dtype=np.uint32)
+    mask = (1 << window) - 1
+    for b, e in enumerate(exps):
+        e = int(e)
+        for j in range(n_win):
+            out[j, b] = (e >> (window * j)) & mask
+    if msb_first:
+        out = out[::-1]
+    return np.ascontiguousarray(out)

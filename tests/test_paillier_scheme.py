@@ -1,0 +1,118 @@
+"""Scheme-layer tests: keygen / encrypt / decrypt / CT-op round trips
+against a Python big-int oracle.  Small key sizes keep the CPU suite fast;
+2048-bit parity runs in bench.py on the real device."""
+
+import random
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pailliercryptolib_python_tpu.models import paillier as sch
+from pailliercryptolib_python_tpu.ops import limb
+
+rng = random.Random(7)
+
+
+@pytest.fixture(scope="module")
+def key256():
+    kd = sch.generate_key_ints(256, enable_DJN=True)
+    pub = sch.PublicContext(kd["n"], kd["bits"], True, kd["hs"], kd["randbits"])
+    priv = sch.PrivateContext(pub, kd["p"], kd["q"])
+    return kd, pub, priv
+
+
+def oracle_decrypt(c, p, q, n):
+    lam = (p - 1) * (q - 1)
+    mu = pow(lam, -1, n)
+    u = pow(c, lam, n * n)
+    return ((u - 1) // n) * mu % n
+
+
+def test_keygen_properties():
+    kd = sch.generate_key_ints(128, enable_DJN=True)
+    n, p, q = kd["n"], kd["p"], kd["q"]
+    assert p * q == n and n.bit_length() == 128
+    assert sch.is_probable_prime(p) and sch.is_probable_prime(q)
+    assert 0 < kd["hs"] < n * n
+
+
+def test_encrypt_raw_roundtrip(key256):
+    kd, pub, priv = key256
+    n = kd["n"]
+    msgs = [rng.randrange(n) for _ in range(5)]
+    ct = pub.encrypt(msgs, apply_obfuscator=False)
+    # raw encryption of m is exactly 1 + m*n mod n^2
+    cts = pub.export_cts(ct, len(msgs))
+    assert cts == [(1 + m * n) % (n * n) for m in msgs]
+    got = priv.decrypt_to_ints(ct, len(msgs))
+    assert got == msgs
+
+
+def test_encrypt_obfuscated_roundtrip(key256):
+    kd, pub, priv = key256
+    n = kd["n"]
+    msgs = [0, 1, n - 1] + [rng.randrange(n) for _ in range(5)]
+    ct = pub.encrypt(msgs, apply_obfuscator=True)
+    cts = pub.export_cts(ct, len(msgs))
+    # obfuscated ciphertexts decrypt correctly via an independent oracle
+    for c, m in zip(cts, msgs):
+        assert oracle_decrypt(c, kd["p"], kd["q"], n) == m
+    assert priv.decrypt_to_ints(ct, len(msgs)) == msgs
+
+
+def test_obfuscation_rerandomizes(key256):
+    kd, pub, priv = key256
+    msgs = [5, 6]
+    ct1 = pub.encrypt(msgs, apply_obfuscator=True)
+    ct2 = pub.encrypt(msgs, apply_obfuscator=True)
+    assert pub.export_cts(ct1, 2) != pub.export_cts(ct2, 2)
+    ct3 = pub.obfuscate(ct1)
+    assert pub.export_cts(ct3, 2) != pub.export_cts(ct1, 2)
+    assert priv.decrypt_to_ints(ct3, 2) == msgs
+
+
+def test_add_ct(key256):
+    kd, pub, priv = key256
+    n = kd["n"]
+    xs = [rng.randrange(n // 2) for _ in range(6)]
+    ys = [rng.randrange(n // 2) for _ in range(6)]
+    ct = pub.add_ct(pub.encrypt(xs), pub.encrypt(ys))
+    assert priv.decrypt_to_ints(ct, 6) == [(x + y) % n for x, y in zip(xs, ys)]
+
+
+def test_mul_pt(key256):
+    kd, pub, priv = key256
+    n = kd["n"]
+    xs = [rng.randrange(n) for _ in range(5)]
+    es = [0, 1, 2, 12345, rng.getrandbits(64)]
+    ct = pub.mul_pt(pub.encrypt(xs), es)
+    assert priv.decrypt_to_ints(ct, 5) == [(x * e) % n for x, e in zip(xs, es)]
+
+
+def test_mul_pt_large_exponent(key256):
+    kd, pub, priv = key256
+    n = kd["n"]
+    xs = [rng.randrange(n) for _ in range(3)]
+    es = [n - 1, n // 2, rng.randrange(n)]
+    ct = pub.mul_pt(pub.encrypt(xs), es)
+    assert priv.decrypt_to_ints(ct, 3) == [(x * e) % n for x, e in zip(xs, es)]
+
+
+def test_import_export_cts(key256):
+    kd, pub, priv = key256
+    n = kd["n"]
+    msgs = [rng.randrange(n) for _ in range(4)]
+    ct = pub.encrypt(msgs)
+    ints = pub.export_cts(ct, 4)
+    ct2 = pub.import_cts(ints)
+    assert priv.decrypt_to_ints(ct2, 4) == msgs
+
+
+def test_plain_paillier_no_djn():
+    kd = sch.generate_key_ints(256, enable_DJN=False)
+    pub = sch.PublicContext(kd["n"], kd["bits"], False)
+    priv = sch.PrivateContext(pub, kd["p"], kd["q"])
+    msgs = [rng.randrange(kd["n"]) for _ in range(3)]
+    ct = pub.encrypt(msgs, apply_obfuscator=True)
+    assert priv.decrypt_to_ints(ct, 3) == msgs
