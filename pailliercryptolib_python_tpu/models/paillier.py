@@ -238,6 +238,53 @@ class PublicContext:
         return mg.mont_exp(ct, jnp.asarray(digits), self.ctx, window=WINDOW,
                            win_start=win_start)
 
+    def gather_batch(self, ct: jnp.ndarray, idx: np.ndarray) -> jnp.ndarray:
+        """Select/duplicate ciphertext columns: out[:, j] = ct[:, idx[j]].
+
+        idx is padded to the batch granularity; the matmul path uses this
+        to materialize the (m*n*k)-wide operand layout in one gather
+        instead of the reference's per-element Python loop
+        (ipcl_python.py:829-880)."""
+        B = pad_batch(len(idx))
+        full = np.zeros(B, dtype=np.int32)
+        full[:len(idx)] = np.asarray(idx, dtype=np.int32)
+        return jnp.take(ct, jnp.asarray(full), axis=1)
+
+    def tree_reduce(self, ct: jnp.ndarray, b: int) -> jnp.ndarray:
+        """HE sum of the first b ciphertexts: log2 rotate-modmul tree.
+
+        TPU-native version of the reference's pad-to-power-of-two
+        rotate-add loop (__padded_ct, ipcl_python.py:810-827); padding is
+        the Montgomery one (= raw encryption of zero).  Returns (L, pad)
+        with the total in column 0."""
+        return self.segment_tree_reduce(ct, 1, b)
+
+    def segment_tree_reduce(self, ct: jnp.ndarray, groups: int,
+                            seg: int) -> jnp.ndarray:
+        """Independent HE sums over `groups` contiguous segments of length
+        `seg` (matmul reduction).  Input columns [g*seg, (g+1)*seg) hold
+        group g; returns (L, pad(groups)) with group sums in order."""
+        P = 1 << max(0, (seg - 1).bit_length())
+        B = pad_batch(groups * P)
+        # Build (L, B) with each segment padded to P using Montgomery one.
+        arr = jnp.broadcast_to(self.ctx.one, (self.L, B))
+        src = np.arange(groups * seg, dtype=np.int32)
+        dst = np.concatenate([np.arange(g * P, g * P + seg)
+                              for g in range(groups)]).astype(np.int32)
+        arr = arr.at[:, dst].set(jnp.take(ct, jnp.asarray(src), axis=1))
+        # log2(P) rounds of rotate-within-segment + modmul
+        shift = 1
+        while shift < P:
+            perm = np.arange(B, dtype=np.int32)
+            for g in range(groups):
+                base = g * P
+                perm[base:base + P] = base + (np.arange(P) + shift) % P
+            rot = jnp.take(arr, jnp.asarray(perm), axis=1)
+            arr = mg.mont_mul(arr, rot, self.ctx)
+            shift <<= 1
+        out_idx = np.arange(groups, dtype=np.int32) * P
+        return self.gather_batch(arr, out_idx)
+
     def export_cts(self, ct_mont: jnp.ndarray, b: int) -> list:
         """Montgomery cts -> canonical Python ints (for pickle/getTexts)."""
         plain = mg.from_mont(ct_mont, self.ctx)

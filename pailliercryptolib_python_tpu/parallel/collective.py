@@ -1,0 +1,95 @@
+"""Sharded HE collectives: the encrypted analog of psum/all-reduce.
+
+Ciphertext-space addition is modular multiplication mod n^2, so an
+encrypted all-reduce is a modmul tree over the sharded batch axis:
+each device reduces its local shard with the log2 rotate-modmul tree,
+then the (tiny) per-device partials are all-gathered over ICI and folded
+locally.  This is the HE analog of gradient all-reduce in federated
+learning (SURVEY.md §2.4) — the reference can only do this by pickling
+ciphertexts between processes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import montgomery as mg
+from ..ops.limb import LIMB_DTYPE
+from .mesh import DCN_AXIS, ICI_AXIS, batch_sharding
+
+
+def _local_tree_reduce(x: jnp.ndarray, one: jnp.ndarray,
+                       ctx: mg.MontCtx) -> jnp.ndarray:
+    """Reduce a (L, Bloc) block to its HE sum in column 0 (keeps width)."""
+    Bloc = x.shape[1]
+    P2 = 1 << max(0, (Bloc - 1).bit_length())
+    if P2 != Bloc:
+        pad = jnp.broadcast_to(one, (x.shape[0], P2 - Bloc))
+        x = jnp.concatenate([x, pad], axis=1)
+    shift = 1
+    while shift < P2:
+        x = mg.mont_mul(x, jnp.roll(x, -shift, axis=1), ctx)
+        shift <<= 1
+    return x[:, :1]
+
+
+def sharded_he_sum(ct: jnp.ndarray, ctx: mg.MontCtx, mesh: Mesh,
+                   b: int | None = None) -> jnp.ndarray:
+    """HE sum of a batch-sharded ciphertext array -> replicated (L, 1).
+
+    Strategy: shard_map over the mesh; each device tree-reduces its local
+    shard (zero communication), then partials are all-gathered over
+    (ICI, DCN) and folded with log2 modmuls — ~log2(B) local modmuls plus
+    one small collective, instead of gathering B ciphertexts.
+
+    Padding columns must hold the Montgomery one (HE zero); callers that
+    sliced real data in keep b == B.
+    """
+    L, B = ct.shape
+
+    def local(ct_blk, n_limbs, n0inv, r2, one):
+        lctx = mg.MontCtx(n_limbs, n0inv, r2, one)
+        partial_ = _local_tree_reduce(ct_blk, one, lctx)        # (L, 1)
+        # gather every device's partial over both mesh axes
+        allp = jax.lax.all_gather(partial_, ICI_AXIS, axis=1, tiled=True)
+        allp = jax.lax.all_gather(allp, DCN_AXIS, axis=1, tiled=True)
+        return _local_tree_reduce(allp, one, lctx)              # (L, 1)
+
+    spec_ct = P(None, (DCN_AXIS, ICI_AXIS))
+    spec_rep = P(None, None)
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(spec_ct, spec_rep, P(None), spec_rep, spec_rep),
+        out_specs=spec_rep, check_vma=False)
+    return fn(ct, ctx.n_limbs, ctx.n0inv, ctx.r2, ctx.one)
+
+
+def sharded_elementwise(fn, mesh: Mesh):
+    """jit an elementwise HE op so batch-sharded operands stay sharded.
+
+    Elementwise ciphertext ops (add_ct = modmul, obfuscate, encrypt_raw)
+    need no communication at all: XLA SPMD partitions the (L, B) kernels
+    along B automatically once inputs carry a batch sharding."""
+    sharded = batch_sharding(mesh)
+
+    def wrapper(*args, **kwargs):
+        out = jax.jit(fn)(*args, **kwargs)
+        return jax.device_put(out, sharded)
+
+    return wrapper
+
+
+def federated_aggregate(cts: list, ctx: mg.MontCtx, mesh: Mesh) -> jnp.ndarray:
+    """Aggregate K parties' encrypted update vectors (the federated-
+    learning headline workload): elementwise HE sum across parties of
+    batch-sharded (L, B) ciphertext arrays.  Pure elementwise modmuls —
+    fully SPMD, no cross-device traffic."""
+    acc = cts[0]
+    for other in cts[1:]:
+        acc = mg.mont_mul(acc, other, ctx)
+    return acc
