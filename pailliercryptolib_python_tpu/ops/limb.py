@@ -58,21 +58,23 @@ def limbs_to_int(a: np.ndarray) -> int:
 
 def ints_to_limbs(xs, num_limbs: int) -> np.ndarray:
     """Convert a sequence of B ints to a (num_limbs, B) uint32 array."""
-    out = np.empty((len(xs), num_limbs), dtype=np.uint32)
-    for i, x in enumerate(xs):
-        out[i] = int_to_limbs(x, num_limbs)
-    return np.ascontiguousarray(out.T)
+    nbytes = num_limbs * 2
+    buf = b"".join(int(x).to_bytes(nbytes, "little") for x in xs)
+    out = np.frombuffer(buf, dtype="<u2").reshape(len(xs), num_limbs)
+    return np.ascontiguousarray(out.T).astype(np.uint32)
 
 
 def limbs_to_ints(arr) -> list:
     """Convert a (L, B) limb array to a list of B Python ints."""
     arr = np.asarray(arr)
+    if arr.size and arr.max() <= LIMB_MASK:
+        # canonical fast path: one bulk bytes view + C-speed from_bytes
+        rows = np.ascontiguousarray(arr.T).astype("<u2").tobytes()
+        nb = arr.shape[0] * 2
+        return [int.from_bytes(rows[i * nb:(i + 1) * nb], "little")
+                for i in range(arr.shape[1])]
     a16 = arr.astype(np.uint64)
-    # Fold redundant limbs exactly: value = sum a[k] << 16k.
-    out = []
-    for b in range(arr.shape[1]):
-        out.append(limbs_to_int(a16[:, b]))
-    return out
+    return [limbs_to_int(a16[:, b]) for b in range(arr.shape[1])]
 
 
 # ---------------------------------------------------------------------------
