@@ -199,6 +199,22 @@ class PublicContext:
         B = ct_mont.shape[1]
         if self.enable_DJN:
             digits = self.sample_obfuscator_digits(B)
+            if mg._on_tpu():
+                # XLA lane-gather of the per-window factors, then one
+                # Pallas product-chain kernel (zero squarings).
+                from ..ops import pallas_mont as pk
+                comb = self.comb_table                     # (n_win, L, 256)
+                idx = digits[:, None, :].astype(jnp.int32)  # (n_win, 1, B)
+                factors = jnp.take_along_axis(
+                    comb, jnp.broadcast_to(idx, (comb.shape[0], comb.shape[1],
+                                                 digits.shape[1])), axis=2)
+                ap, _ = mg._pad_lanes(ct_mont, B)
+                fp, _ = mg._pad_lanes(factors, B)
+                np_, _ = mg._pad_lanes(
+                    jnp.broadcast_to(self.ctx.n_limbs, (self.L, B)), B)
+                n0p, _ = mg._pad_lanes(
+                    jnp.broadcast_to(self.ctx.n0inv, (B,)).reshape(1, B), B)
+                return pk.mont_chain_p(fp, ap, np_, n0p[0])[:, :B]
             return mg.mont_exp_fixed_base(self.comb_table, digits, self.ctx,
                                           acc0=ct_mont)
         # plain Paillier: obf = r^n, r random in [1, n)

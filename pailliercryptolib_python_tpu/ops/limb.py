@@ -87,23 +87,38 @@ def limbs_to_ints(arr) -> list:
 def normalize(t: jnp.ndarray) -> jnp.ndarray:
     """Carry-propagate a redundant limb array to canonical (<2^16) limbs.
 
-    Repeatedly splits each limb into (low 16 bits, carry) and adds carries
-    one position up until no carries remain.  Values shrink geometrically,
-    so this converges in 2-3 data-parallel passes; a ripple of exact
-    0xFFFF+1 chains can take more, hence the while_loop.  Any carry out of
-    the top limb is discarded (arithmetic mod 2^(16L)) — callers size L so
-    this never triggers for in-range values.
+    Deterministic two-phase propagation (no data-dependent loop — maps
+    cleanly onto the VPU and into Pallas kernels):
+
+    1. one local pass: v_k = (t_k & 0xFFFF) + (t_{k-1} >> 16).  Since both
+       terms are <= 0xFFFF, v_k < 2^17, so at most ONE carry bit remains
+       per position;
+    2. Kogge-Stone carry-lookahead over (generate, propagate) bits in
+       log2(K) steps: g_k = v_k >> 16, p_k = (v_k & 0xFFFF == 0xFFFF);
+       after the prefix scan G_k says a carry exits position k, so
+       carry-in_k = G_{k-1} and out = (v + carry_in) & 0xFFFF.
+
+    Any carry out of the top limb is discarded (arithmetic mod 2^(16L)) —
+    callers size L so this never triggers for in-range values.
     """
+    K = t.shape[0]
 
-    def cond(t):
-        return jnp.any(t >> LIMB_BITS != 0)
+    def shift_down(x, d):
+        return jnp.concatenate(
+            [jnp.zeros((d,) + x.shape[1:], dtype=x.dtype), x[:-d]], axis=0)
 
-    def body(t):
-        carry = t >> LIMB_BITS
-        t = t & LIMB_MASK
-        return t.at[1:].add(carry[:-1])
-
-    return lax.while_loop(cond, body, t)
+    c = t >> LIMB_BITS
+    v = (t & LIMB_MASK) + shift_down(c, 1)
+    r = v & LIMB_MASK
+    G = (v >> LIMB_BITS).astype(LIMB_DTYPE)          # in {0, 1}
+    P = (r == LIMB_MASK).astype(LIMB_DTYPE)
+    d = 1
+    while d < K:
+        G = G | (P & shift_down(G, d))
+        P = P & shift_down(P, d)
+        d <<= 1
+    carry_in = shift_down(G, 1)
+    return (r + carry_in) & LIMB_MASK
 
 
 @jax.jit

@@ -109,14 +109,49 @@ class MontCtx:
         )
 
 
-@jax.jit
+def _on_tpu() -> bool:
+    """True when the default backend drives a real TPU (incl. the axon
+    plugin) — selects the Pallas kernels over the pure-jnp fallback."""
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
+def _pad_lanes(x: jnp.ndarray, B: int):
+    """Pad the batch (lane) axis to a multiple of 128 for the kernels."""
+    BP = -(-B // 128) * 128
+    if BP == B:
+        return x, B
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, BP - B)]
+    return jnp.pad(x, pad), BP
+
+
 def mont_mul(a: jnp.ndarray, b: jnp.ndarray, ctx: MontCtx) -> jnp.ndarray:
     """Montgomery product a*b*R^{-1} mod n, batched.
 
     a, b: (L, B) or (L, 1) canonical limbs, values < 2n.
     Returns (L, B) canonical limbs, value < 2n (no conditional subtract —
-    Walter's bound keeps chains closed).
+    Walter's bound keeps chains closed).  Dispatches to the Pallas kernel
+    on TPU, pure-jnp CIOS elsewhere.
     """
+    if _on_tpu():
+        from . import pallas_mont as pk
+        L = a.shape[0]
+        B = max(a.shape[1], b.shape[1], ctx.n_limbs.shape[1])
+        ap, BP = _pad_lanes(jnp.broadcast_to(a, (L, B)), B)
+        bp, _ = _pad_lanes(jnp.broadcast_to(b, (L, B)), B)
+        np_, _ = _pad_lanes(jnp.broadcast_to(ctx.n_limbs, (L, B)), B)
+        n0 = jnp.broadcast_to(ctx.n0inv, (B,))
+        n0p, _ = _pad_lanes(n0.reshape(1, B), B)
+        # padding lanes have n=0 -> m*0 contributes nothing; outputs there
+        # are garbage and sliced off.
+        return pk.mont_mul_p(ap, bp, np_, n0p[0])[:, :B]
+    return _mont_mul_jnp(a, b, ctx)
+
+
+@jax.jit
+def _mont_mul_jnp(a: jnp.ndarray, b: jnp.ndarray, ctx: MontCtx) -> jnp.ndarray:
     L = a.shape[0]
     B = max(a.shape[1], b.shape[1], ctx.n_limbs.shape[1])
     a = jnp.broadcast_to(a, (L, a.shape[1])).astype(LIMB_DTYPE)
@@ -210,9 +245,28 @@ def _build_window_table(base: jnp.ndarray, ctx: MontCtx, tsize: int,
     return jnp.stack(entries, axis=0)
 
 
-@partial(jax.jit, static_argnames=("window",))
 def mont_exp(base: jnp.ndarray, digits: jnp.ndarray, ctx: MontCtx,
              window: int = 4, win_start=0) -> jnp.ndarray:
+    """Fixed-window modexp dispatcher: one Pallas kernel on TPU (w=4),
+    pure-jnp loop elsewhere.  See _mont_exp_jnp for semantics."""
+    if _on_tpu() and window == 4:
+        from . import pallas_mont as pk
+        L = base.shape[0]
+        B = max(base.shape[1], ctx.n_limbs.shape[1], digits.shape[1])
+        bp, _ = _pad_lanes(jnp.broadcast_to(base, (L, B)), B)
+        dp, _ = _pad_lanes(
+            jnp.broadcast_to(digits, (digits.shape[0], B)).astype(jnp.uint32), B)
+        np_, _ = _pad_lanes(jnp.broadcast_to(ctx.n_limbs, (L, B)), B)
+        onep, _ = _pad_lanes(jnp.broadcast_to(ctx.one, (L, B)), B)
+        n0p, _ = _pad_lanes(jnp.broadcast_to(ctx.n0inv, (B,)).reshape(1, B), B)
+        return pk.mont_exp_p(bp, dp, np_, n0p[0], onep,
+                             win_start=win_start)[:, :B]
+    return _mont_exp_jnp(base, digits, ctx, window, win_start)
+
+
+@partial(jax.jit, static_argnames=("window",))
+def _mont_exp_jnp(base: jnp.ndarray, digits: jnp.ndarray, ctx: MontCtx,
+                  window: int = 4, win_start=0) -> jnp.ndarray:
     """Fixed-window modular exponentiation, per-element base and exponent.
 
     base: (L, B) Montgomery-domain values (< 2n).
@@ -248,9 +302,18 @@ def mont_exp(base: jnp.ndarray, digits: jnp.ndarray, ctx: MontCtx,
     return lax.fori_loop(win_start, n_win, body, acc0)
 
 
-@partial(jax.jit, static_argnames=("window",))
 def mont_exp_shared(base: jnp.ndarray, digits: jnp.ndarray, ctx: MontCtx,
                     window: int = 4, win_start=0) -> jnp.ndarray:
+    """Shared-exponent modexp dispatcher (see _mont_exp_shared_jnp)."""
+    if _on_tpu() and window == 4:
+        return mont_exp(base, digits[:, None], ctx, window=4,
+                        win_start=win_start)
+    return _mont_exp_shared_jnp(base, digits, ctx, window, win_start)
+
+
+@partial(jax.jit, static_argnames=("window",))
+def _mont_exp_shared_jnp(base: jnp.ndarray, digits: jnp.ndarray, ctx: MontCtx,
+                         window: int = 4, win_start=0) -> jnp.ndarray:
     """Fixed-window modexp where the exponent is shared across the batch.
 
     digits: (n_win,) uint32 MSB-first digits (traced — no recompile per
@@ -301,8 +364,9 @@ def build_pow2_ladder(base_mont: jnp.ndarray, ctx: MontCtx, nbits: int) -> jnp.n
 def build_comb_table(ladder: jnp.ndarray, ctx: MontCtx, window: int) -> jnp.ndarray:
     """Comb table T[j, d] = base^(d * 2^(window*j)) from the pow2 ladder.
 
-    ladder: (nbits, L, 1).  Returns (n_win, 2^window, L) — layout chosen so
-    the encrypt gather indexes rows of a (2^window, L) slab.
+    ladder: (nbits, L, 1).  Returns (n_win, L, 2^window) — entries in the
+    lane axis so per-element selection is a lane gather (and the Pallas
+    chain path gathers (n_win, L, B) factors with one take_along_axis).
     Built with `window` batched modmuls over a (L, n_win * 2^window) batch.
     """
     nbits, L, _ = ladder.shape
@@ -322,8 +386,8 @@ def build_comb_table(ladder: jnp.ndarray, ctx: MontCtx, window: int) -> jnp.ndar
         factor = lad[src].T  # (L, NE)
         prod = mont_mul(acc, factor, ctx)
         acc = jnp.where((bit_set == 1)[None, :], prod, acc)
-    # (L, NE) -> (n_win, tsize, L)
-    return acc.T.reshape(n_win, tsize, L)
+    # (L, NE) -> (n_win, L, tsize)
+    return acc.reshape(L, n_win, tsize).transpose(1, 0, 2)
 
 
 @jax.jit
@@ -331,17 +395,17 @@ def mont_exp_fixed_base(comb_table: jnp.ndarray, digits: jnp.ndarray,
                         ctx: MontCtx, acc0: jnp.ndarray | None = None) -> jnp.ndarray:
     """prod_j T[j][digits[j]] — fixed-base exponentiation, no squarings.
 
-    comb_table: (n_win, 2^w, L); digits: (n_win, B) LSB-window-first or any
+    comb_table: (n_win, L, 2^w); digits: (n_win, B) LSB-window-first or any
     order matching the table's j indexing.  acc0: optional (L, B) Montgomery
     value to fold the product into (saves one modmul for encrypt).
     """
-    n_win, tsize, L = comb_table.shape
+    n_win, L, tsize = comb_table.shape
     B = digits.shape[1]
 
     def gather(j, dig):
         slab = lax.dynamic_index_in_dim(comb_table, j, axis=0, keepdims=False)
-        # slab: (tsize, L); dig: (B,) -> (L, B)
-        return jnp.take(slab, dig.astype(jnp.int32), axis=0).T
+        # slab: (L, tsize); dig: (B,) -> (L, B) lane gather
+        return jnp.take(slab, dig.astype(jnp.int32), axis=1)
 
     start = 0
     if acc0 is None:
