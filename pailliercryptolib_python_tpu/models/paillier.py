@@ -58,40 +58,68 @@ def pad_batch(b: int) -> int:
 # role of IPP-Crypto's primality search in ipcl::generateKeypair.
 # ---------------------------------------------------------------------------
 
-_SMALL_PRIMES = [3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53,
-                 59, 61, 67, 71, 73, 79, 83, 89, 97, 101, 103, 107, 109, 113]
+def _small_primes(limit: int = 8192):
+    sieve = np.ones(limit, dtype=bool)
+    sieve[:2] = False
+    for i in range(2, int(limit ** 0.5) + 1):
+        if sieve[i]:
+            sieve[i * i::i] = False
+    return [int(p) for p in np.nonzero(sieve)[0]]
 
 
-def is_probable_prime(n: int, rounds: int = 30) -> bool:
+_SMALL_PRIMES = _small_primes()
+
+
+def _mr_round(n: int, d: int, r: int, a: int) -> bool:
+    x = pow(a, d, n)
+    if x == 1 or x == n - 1:
+        return True
+    for _ in range(r - 1):
+        x = x * x % n
+        if x == n - 1:
+            return True
+    return False
+
+
+def is_probable_prime(n: int, rounds: int = 8) -> bool:
+    """Miller-Rabin: one deterministic base-2 round + `rounds` random
+    bases.  For uniformly random candidates (keygen) the composite
+    escape probability is far below 4^-rounds."""
     if n < 2:
         return False
-    for p in _SMALL_PRIMES:
+    for p in _SMALL_PRIMES[:64]:
         if n % p == 0:
             return n == p
-    d = n - 1
-    r = 0
+    d, r = n - 1, 0
     while d % 2 == 0:
         d //= 2
         r += 1
+    if not _mr_round(n, d, r, 2):
+        return False
     for _ in range(rounds):
-        a = secrets.randbelow(n - 3) + 2
-        x = pow(a, d, n)
-        if x == 1 or x == n - 1:
-            continue
-        for _ in range(r - 1):
-            x = x * x % n
-            if x == n - 1:
-                break
-        else:
+        if not _mr_round(n, d, r, secrets.randbelow(n - 3) + 2):
             return False
     return True
 
 
 def generate_prime(bits: int) -> int:
+    """Random prime: windowed native trial-division sieve (C extension,
+    mirroring the role of IPP-Crypto's sieve inside ipcl::generateKeypair)
+    + Miller-Rabin on the survivors via CPython's C-speed pow."""
+    from .. import native
+
+    window = 2048
     while True:
-        cand = secrets.randbits(bits) | (1 << (bits - 1)) | 1
-        if is_probable_prime(cand):
-            return cand
+        base = secrets.randbits(bits) | (1 << (bits - 1)) | 1
+        mask = native.sieve_window(base, window, _SMALL_PRIMES)
+        for j in range(window):
+            if not mask[j]:
+                continue
+            cand = base + 2 * j
+            if cand.bit_length() != bits:
+                break
+            if is_probable_prime(cand):
+                return cand
 
 
 def generate_key_ints(n_length: int = 1024, enable_DJN: bool = True) -> dict:
@@ -186,12 +214,24 @@ class PublicContext:
         return _encrypt_raw(m_limbs, self.n_limbs, self.ctx, self.L)
 
     def sample_obfuscator_digits(self, b: int) -> jnp.ndarray:
-        """Random DJN exponents r (randbits bits) as LSB-first comb digits."""
+        """Random DJN exponents r (randbits bits) as LSB-first comb digits.
+
+        With COMB_WINDOW == 8 the digits of a uniform randbits-bit r ARE
+        uniform bytes, so they come straight from OS entropy — no bigint
+        round trip."""
         B = pad_batch(b)
         n_win = self.comb_table.shape[0]
-        rs = [secrets.randbits(self.randbits) for _ in range(B)]
-        return jnp.asarray(
-            mg.exponent_digits(rs, n_win, COMB_WINDOW, msb_first=False))
+        rbytes = -(-self.randbits // 8)
+        raw = np.frombuffer(secrets.token_bytes(B * rbytes),
+                            dtype=np.uint8).reshape(B, rbytes)
+        digs = np.zeros((n_win, B), dtype=np.uint32)
+        take = min(n_win, rbytes)
+        digs[:take] = raw[:, :take].T
+        # trim to exactly `randbits` bits in the top byte
+        top_bits = self.randbits - (take - 1) * 8
+        if 0 < top_bits < 8:
+            digs[take - 1] &= (1 << top_bits) - 1
+        return jnp.asarray(digs)
 
     def obfuscate(self, ct_mont: jnp.ndarray) -> jnp.ndarray:
         """Multiply in a fresh obfuscator (re-randomization / applyObfuscator,

@@ -1,0 +1,86 @@
+"""Native (C) host-side helpers with transparent build + Python fallback.
+
+The extension compiles on first import (plain cc, no pybind11 — see
+sieve.c) into this directory; `setup.py build_ext` also builds it for
+wheels.  Every entry point has a pure-Python fallback so the framework
+works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sysconfig
+
+_HERE = os.path.dirname(__file__)
+_native = None
+
+
+def _try_build():
+    src = os.path.join(_HERE, "sieve.c")
+    suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
+    out = os.path.join(_HERE, "_paillier_native" + suffix)
+    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+        return out
+    include = sysconfig.get_paths()["include"]
+    cc = os.environ.get("CC", "cc")
+    cmd = [cc, "-O3", "-shared", "-fPIC", f"-I{include}", src, "-o", out]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return out
+    except Exception:
+        return None
+
+
+def _load():
+    global _native
+    if _native is not None:
+        return _native
+    try:
+        from . import _paillier_native  # pre-built by setup.py
+        _native = _paillier_native
+        return _native
+    except ImportError:
+        pass
+    if _try_build() is not None:
+        try:
+            from . import _paillier_native
+            _native = _paillier_native
+            return _native
+        except ImportError:
+            pass
+    _native = False
+    return _native
+
+
+def sieve_window(base: int, count: int, primes) -> bytearray:
+    """mask[i] == 1 iff base + 2i survives trial division by `primes`."""
+    mod = _load()
+    nb = max(1, (base.bit_length() + 7) // 8)
+    if mod:
+        return mod.sieve_window(base.to_bytes(nb, "little"), count,
+                                tuple(primes))
+    mask = bytearray(b"\x01" * count)
+    for p in primes:
+        if p <= 2:
+            continue
+        r = base % p
+        j = ((p - r) * ((p + 1) // 2)) % p
+        while j < count:
+            if base + 2 * j != p:
+                mask[j] = 0
+            j += p
+    return mask
+
+
+def pack_limbs16(xs, num_limbs: int):
+    """(num_limbs, len(xs)) uint32 limb array from Python ints, C-packed."""
+    import numpy as np
+    mod = _load()
+    nbytes = num_limbs * 2
+    buf = b"".join(int(x).to_bytes(nbytes, "little") for x in xs)
+    if mod:
+        raw = mod.pack_limbs16(buf, len(xs), num_limbs)
+        return np.frombuffer(raw, dtype=np.uint32).reshape(num_limbs, len(xs))
+    out = np.frombuffer(buf, dtype="<u2").reshape(len(xs), num_limbs)
+    return np.ascontiguousarray(out.T).astype(np.uint32)

@@ -253,6 +253,14 @@ def mont_exp(base: jnp.ndarray, digits: jnp.ndarray, ctx: MontCtx,
         from . import pallas_mont as pk
         L = base.shape[0]
         B = max(base.shape[1], ctx.n_limbs.shape[1], digits.shape[1])
+        if isinstance(win_start, int) and win_start > 0:
+            # Mosaic does not skip loop iterations below a dynamic start —
+            # slice the MSB-zero windows off on the host instead, rounded
+            # up to a power-of-two bucket to bound recompiles.
+            needed = digits.shape[0] - win_start
+            bucket = min(digits.shape[0], max(4, 1 << max(0, needed - 1).bit_length()))
+            digits = digits[digits.shape[0] - bucket:]
+            win_start = 0
         bp, _ = _pad_lanes(jnp.broadcast_to(base, (L, B)), B)
         dp, _ = _pad_lanes(
             jnp.broadcast_to(digits, (digits.shape[0], B)).astype(jnp.uint32), B)
@@ -424,14 +432,34 @@ def mont_exp_fixed_base(comb_table: jnp.ndarray, digits: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def exponent_digits(exps, n_win: int, window: int, msb_first: bool = True) -> np.ndarray:
-    """Base-2^window digits of Python-int exponents -> (n_win, B) uint32."""
-    B = len(exps)
-    out = np.zeros((n_win, B), dtype=np.uint32)
-    mask = (1 << window) - 1
-    for b, e in enumerate(exps):
-        e = int(e)
-        for j in range(n_win):
-            out[j, b] = (e >> (window * j)) & mask
+    """Base-2^window digits of Python-int exponents -> (n_win, B) uint32.
+
+    Vectorized through one bytes buffer (window in {4, 8}): exponents are
+    serialized little-endian once, then reinterpreted — no per-digit
+    Python loop (the encrypt path extracts ~10^5 digits per batch)."""
+    if window not in (4, 8):
+        B = len(exps)
+        out = np.zeros((n_win, B), dtype=np.uint32)
+        mask = (1 << window) - 1
+        for b, e in enumerate(exps):
+            e = int(e)
+            for j in range(n_win):
+                out[j, b] = (e >> (window * j)) & mask
+        if msb_first:
+            out = out[::-1]
+        return np.ascontiguousarray(out)
+
+    nbytes = -(-n_win * window // 8)
+    buf = b"".join(int(e).to_bytes(nbytes, "little") for e in exps)
+    arr = np.frombuffer(buf, dtype=np.uint8).reshape(len(exps), nbytes)
+    if window == 8:
+        digs = arr[:, :n_win]
+    else:
+        nib = np.empty((len(exps), nbytes * 2), dtype=np.uint8)
+        nib[:, 0::2] = arr & 0xF
+        nib[:, 1::2] = arr >> 4
+        digs = nib[:, :n_win]
+    digs = np.ascontiguousarray(digs.T).astype(np.uint32)   # LSB-first
     if msb_first:
-        out = out[::-1]
-    return np.ascontiguousarray(out)
+        digs = np.ascontiguousarray(digs[::-1])
+    return digs

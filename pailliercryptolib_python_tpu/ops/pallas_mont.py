@@ -35,11 +35,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MASK = 0xFFFF  # plain literal: jnp scalars would be captured consts in kernels
-TB = 128
+
+# Batch tile sizes (lanes).  Measured on v5e: one lane width (128) beats
+# wider tiles — (L, 256)+ blocks roughly double wall time per element
+# (register/VMEM pressure in the deep CIOS loop outweighs any per-step
+# amortization).
+TB_MUL = 128
+TB_EXP = 128
 
 # Flip to True to run kernels in the Pallas interpreter (CPU correctness
 # tests exercise the exact kernel code without TPU hardware).
-INTERPRET = False  # batch tile = one lane width
+INTERPRET = False
 
 
 def _shift_down(x, d):
@@ -108,25 +114,35 @@ def _mont_mul_kernel(a_ref, b_ref, n_ref, n0_ref, o_ref):
                          n0_ref[0:1, :], L)
 
 
-@functools.partial(jax.jit, static_argnames=())
+def _pad_to(x, BP):
+    if x.shape[-1] == BP:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, BP - x.shape[-1])]
+    return jnp.pad(x, pad)
+
+
 def mont_mul_p(a, b, n, n0):
-    """a, b, n: (L, B) uint32; n0: (B,) or (1,).  B % 128 == 0."""
+    """a, b, n: (L, B) uint32; n0: (B,) or (1,)."""
     L, B = a.shape
-    n = jnp.broadcast_to(n, (L, B))
-    n0r = jnp.broadcast_to(n0.reshape(1, -1), (1, B)).astype(jnp.uint32)
-    grid = (B // TB,)
+    TB = min(TB_MUL, -(-B // 128) * 128)
+    BP = -(-B // TB) * TB
+    a = _pad_to(a, BP)
+    b = _pad_to(b, BP)
+    n = _pad_to(jnp.broadcast_to(n, (L, B)), BP)
+    n0r = _pad_to(jnp.broadcast_to(n0.reshape(1, -1), (1, B)), BP).astype(jnp.uint32)
     bs = lambda: pl.BlockSpec((L, TB), lambda j: (0, j),
                               memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _mont_mul_kernel,
-        out_shape=jax.ShapeDtypeStruct((L, B), jnp.uint32),
-        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((L, BP), jnp.uint32),
+        grid=(BP // TB,),
         in_specs=[bs(), bs(), bs(),
                   pl.BlockSpec((1, TB), lambda j: (0, j),
                                memory_space=pltpu.VMEM)],
         out_specs=bs(),
         interpret=INTERPRET,
     )(a, b, n, n0r)
+    return out[:, :B]
 
 
 # ---------------------------------------------------------------------------
@@ -169,10 +185,14 @@ def mont_exp_p(base, digits, n, n0, one, win_start=0):
     """
     L, B = base.shape
     n_win = digits.shape[0]
-    n = jnp.broadcast_to(n, (L, B))
-    one = jnp.broadcast_to(one, (L, B))
-    n0r = jnp.broadcast_to(jnp.asarray(n0).reshape(1, -1), (1, B)).astype(jnp.uint32)
-    digits = jnp.broadcast_to(digits, (n_win, B)).astype(jnp.uint32)
+    TB = min(TB_EXP, -(-B // 128) * 128)
+    BP = -(-B // TB) * TB
+    base = _pad_to(base, BP)
+    n = _pad_to(jnp.broadcast_to(n, (L, B)), BP)
+    one = _pad_to(jnp.broadcast_to(one, (L, B)), BP)
+    n0r = _pad_to(jnp.broadcast_to(jnp.asarray(n0).reshape(1, -1), (1, B)),
+                  BP).astype(jnp.uint32)
+    digits = _pad_to(jnp.broadcast_to(digits, (n_win, B)), BP).astype(jnp.uint32)
     ws = jnp.asarray([win_start], dtype=jnp.int32)
 
     # index maps receive the scalar-prefetch ref as a trailing arg
@@ -180,7 +200,7 @@ def mont_exp_p(base, digits, n, n0, one, win_start=0):
                               memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B // TB,),
+        grid=(BP // TB,),
         in_specs=[
             pl.BlockSpec((n_win, TB), lambda j, ws: (0, j),
                          memory_space=pltpu.VMEM),
@@ -191,12 +211,13 @@ def mont_exp_p(base, digits, n, n0, one, win_start=0):
         ],
         out_specs=bs(),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _mont_exp_kernel,
-        out_shape=jax.ShapeDtypeStruct((L, B), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((L, BP), jnp.uint32),
         grid_spec=grid_spec,
         interpret=INTERPRET,
     )(ws, digits, base, n, n0r, one)
+    return out[:, :B]
 
 
 # ---------------------------------------------------------------------------
@@ -217,14 +238,19 @@ def _mont_chain_kernel(f_ref, a0_ref, n_ref, n0_ref, o_ref):
 def mont_chain_p(factors, acc0, n, n0):
     """acc0 * prod_j factors[j] — factors: (n_win, L, B); acc0: (L, B)."""
     n_win, L, B = factors.shape
-    n = jnp.broadcast_to(n, (L, B))
-    n0r = jnp.broadcast_to(jnp.asarray(n0).reshape(1, -1), (1, B)).astype(jnp.uint32)
+    TB = min(TB_MUL, -(-B // 128) * 128)
+    BP = -(-B // TB) * TB
+    factors = _pad_to(factors, BP)
+    acc0 = _pad_to(acc0, BP)
+    n = _pad_to(jnp.broadcast_to(n, (L, B)), BP)
+    n0r = _pad_to(jnp.broadcast_to(jnp.asarray(n0).reshape(1, -1), (1, B)),
+                  BP).astype(jnp.uint32)
     bs = lambda: pl.BlockSpec((L, TB), lambda j, w: (0, j),
                               memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _mont_chain_kernel,
-        out_shape=jax.ShapeDtypeStruct((L, B), jnp.uint32),
-        grid=(B // TB, n_win),
+        out_shape=jax.ShapeDtypeStruct((L, BP), jnp.uint32),
+        grid=(BP // TB, n_win),
         in_specs=[
             pl.BlockSpec((1, L, TB), lambda j, w: (w, 0, j),
                          memory_space=pltpu.VMEM),
@@ -235,3 +261,4 @@ def mont_chain_p(factors, acc0, n, n0):
         out_specs=bs(),
         interpret=INTERPRET,
     )(factors, acc0, n, n0r)
+    return out[:, :B]

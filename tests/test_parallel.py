@@ -1,0 +1,84 @@
+"""Sharding/distribution tests on the 8-device CPU mesh (SURVEY.md §2.4).
+
+Covers: batch-sharded elementwise HE ops (SPMD, no communication),
+encrypted all-reduce over mesh collectives, multi-party federated
+aggregation, and the driver dry-run entry.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pailliercryptolib_python_tpu.models import paillier as sch
+from pailliercryptolib_python_tpu.ops import montgomery as mg
+from pailliercryptolib_python_tpu.parallel import mesh as pmesh
+from pailliercryptolib_python_tpu.parallel.collective import (
+    sharded_he_sum, federated_aggregate)
+from pailliercryptolib_python_tpu.utils.fixtures import fixed_key_ints
+
+rng = np.random.default_rng(3)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    kd = fixed_key_ints(256, enable_DJN=True)
+    pub = sch.PublicContext(kd["n"], kd["bits"], True, kd["hs"],
+                            kd["randbits"])
+    priv = sch.PrivateContext(pub, kd["p"], kd["q"])
+    mesh = pmesh.make_mesh(2, 4)
+    return kd, pub, priv, mesh
+
+
+def test_mesh_shape(setup):
+    _, _, _, mesh = setup
+    assert dict(mesh.shape) == {"dcn_host": 2, "ici_chip": 4}
+
+
+def test_sharded_elementwise_add(setup):
+    kd, pub, priv, mesh = setup
+    B = 64
+    xs = [int(v) for v in rng.integers(0, 1000, size=B)]
+    ys = [int(v) for v in rng.integers(0, 1000, size=B)]
+    ct_x = pmesh.shard_batch(pub.encrypt(xs), mesh)
+    ct_y = pmesh.shard_batch(pub.encrypt(ys), mesh)
+    out = pub.add_ct(ct_x, ct_y)
+    assert priv.decrypt_to_ints(out, B) == [
+        (x + y) % kd["n"] for x, y in zip(xs, ys)]
+
+
+def test_sharded_he_sum(setup):
+    kd, pub, priv, mesh = setup
+    B = 64
+    xs = [int(v) for v in rng.integers(0, 10**6, size=B)]
+    ct = pmesh.shard_batch(pub.encrypt(xs), mesh)
+    total = sharded_he_sum(ct, pub.ctx, mesh)
+    got = priv.decrypt_to_ints(jnp.asarray(total), 1)[0]
+    assert got == sum(xs) % kd["n"]
+
+
+def test_federated_aggregate(setup):
+    kd, pub, priv, mesh = setup
+    B = 64
+    parties = [[int(v) for v in rng.integers(0, 1000, size=B)]
+               for _ in range(3)]
+    cts = [pmesh.shard_batch(pub.encrypt(p), mesh) for p in parties]
+    agg = federated_aggregate(cts, pub.ctx, mesh)
+    got = priv.decrypt_to_ints(agg, B)
+    assert got == [sum(col) % kd["n"] for col in zip(*parties)]
+
+
+def test_dryrun_multichip_entry():
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from __graft_entry__ import dryrun_multichip
+    dryrun_multichip(8)
+
+
+def test_entry_compiles_on_cpu():
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from __graft_entry__ import entry
+    fn, args = entry()
+    out = jax.jit(fn).lower(*args).compile()
+    assert out is not None
