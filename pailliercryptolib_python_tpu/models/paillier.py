@@ -239,24 +239,7 @@ class PublicContext:
         B = ct_mont.shape[1]
         if self.enable_DJN:
             digits = self.sample_obfuscator_digits(B)
-            if mg._on_tpu():
-                # XLA lane-gather of the per-window factors, then one
-                # Pallas product-chain kernel (zero squarings).
-                from ..ops import pallas_mont as pk
-                comb = self.comb_table                     # (n_win, L, 256)
-                idx = digits[:, None, :].astype(jnp.int32)  # (n_win, 1, B)
-                factors = jnp.take_along_axis(
-                    comb, jnp.broadcast_to(idx, (comb.shape[0], comb.shape[1],
-                                                 digits.shape[1])), axis=2)
-                ap, _ = mg._pad_lanes(ct_mont, B)
-                fp, _ = mg._pad_lanes(factors, B)
-                np_, _ = mg._pad_lanes(
-                    jnp.broadcast_to(self.ctx.n_limbs, (self.L, B)), B)
-                n0p, _ = mg._pad_lanes(
-                    jnp.broadcast_to(self.ctx.n0inv, (B,)).reshape(1, B), B)
-                return pk.mont_chain_p(fp, ap, np_, n0p[0])[:, :B]
-            return mg.mont_exp_fixed_base(self.comb_table, digits, self.ctx,
-                                          acc0=ct_mont)
+            return _obfuscate_djn(ct_mont, digits, self.comb_table, self.ctx)
         # plain Paillier: obf = r^n, r random in [1, n)
         rs = [secrets.randbelow(self.n - 1) + 1 for _ in range(B)]
         r = jnp.asarray(ints_to_limbs(rs, self.L))
@@ -267,8 +250,16 @@ class PublicContext:
         return mg.mont_mul(ct_mont, obf, self.ctx)
 
     def encrypt(self, encodings: list, apply_obfuscator: bool = True) -> jnp.ndarray:
-        """Full encrypt: encodings (list of ints mod n) -> Montgomery cts."""
+        """Full encrypt: encodings (list of ints mod n) -> Montgomery cts.
+
+        One H2D transfer of the encodings (+ obfuscator digits) and ONE
+        fused device program — the whole pipeline (1+mn, Montgomery entry,
+        comb gather, product chain) dispatches as a single call."""
         m = self.encodings_to_device(encodings)
+        if apply_obfuscator and self.enable_DJN:
+            digits = self.sample_obfuscator_digits(m.shape[1])
+            return _encrypt_djn(m, digits, self.comb_table, self.n_limbs,
+                                self.ctx, self.L)
         ct = self.encrypt_raw(m)
         if apply_obfuscator:
             ct = self.obfuscate(ct)
@@ -289,9 +280,11 @@ class PublicContext:
         exps = list(exponents) + [0] * (B - len(exponents))
         maxbits = max((int(e).bit_length() for e in exps), default=1)
         n_win_needed = max(1, -(-maxbits // WINDOW))
-        digits = mg.exponent_digits(exps, self.n_win_ct, WINDOW)
-        win_start = self.n_win_ct - n_win_needed
-        return mg.mont_exp(ct, jnp.asarray(digits), self.ctx, window=WINDOW,
+        n_win_total = max(self.n_win_ct, n_win_needed)
+        digits = mg.exponent_digits(exps, n_win_total, WINDOW)
+        win_start = n_win_total - n_win_needed
+        # digits stay numpy so the dispatcher's window-bucket slice is free
+        return mg.mont_exp(ct, digits, self.ctx, window=WINDOW,
                            win_start=win_start)
 
     def gather_batch(self, ct: jnp.ndarray, idx: np.ndarray) -> jnp.ndarray:
@@ -320,26 +313,7 @@ class PublicContext:
         """Independent HE sums over `groups` contiguous segments of length
         `seg` (matmul reduction).  Input columns [g*seg, (g+1)*seg) hold
         group g; returns (L, pad(groups)) with group sums in order."""
-        P = 1 << max(0, (seg - 1).bit_length())
-        B = pad_batch(groups * P)
-        # Build (L, B) with each segment padded to P using Montgomery one.
-        arr = jnp.broadcast_to(self.ctx.one, (self.L, B))
-        src = np.arange(groups * seg, dtype=np.int32)
-        dst = np.concatenate([np.arange(g * P, g * P + seg)
-                              for g in range(groups)]).astype(np.int32)
-        arr = arr.at[:, dst].set(jnp.take(ct, jnp.asarray(src), axis=1))
-        # log2(P) rounds of rotate-within-segment + modmul
-        shift = 1
-        while shift < P:
-            perm = np.arange(B, dtype=np.int32)
-            for g in range(groups):
-                base = g * P
-                perm[base:base + P] = base + (np.arange(P) + shift) % P
-            rot = jnp.take(arr, jnp.asarray(perm), axis=1)
-            arr = mg.mont_mul(arr, rot, self.ctx)
-            shift <<= 1
-        out_idx = np.arange(groups, dtype=np.int32) * P
-        return self.gather_batch(arr, out_idx)
+        return _segment_tree_reduce(ct, self.ctx, groups, seg, self.L)
 
     def export_cts(self, ct_mont: jnp.ndarray, b: int) -> list:
         """Montgomery cts -> canonical Python ints (for pickle/getTexts)."""
@@ -354,11 +328,118 @@ class PublicContext:
         return mg.to_mont(jnp.asarray(arr), self.ctx)
 
 
+@partial(jax.jit, static_argnames=("Lh", "Lq", "Ln", "n_win_dec"))
+def _crt_decrypt(ct_mont, n2_ctx, sq_ctx, pq_ctx, q_ctx, r3_p, r3_q,
+                 exp_digits_pq, pinv_R, qinv_R, hpR, hqR, p_limbs, q_limbs,
+                 pinvqR, Lh, Lq, Ln, n_win_dec):
+    """The whole CRT decryption as ONE device program.
+
+    Mod-p^2 and mod-q^2 paths run FUSED as a batch of width 2B with
+    per-element moduli; the L-function is an exact Hensel division; the
+    recombination is a couple of half-width modmuls.  See
+    PrivateContext.decrypt_to_ints for the math commentary.
+    """
+    from ..ops.limb import sub_mod_base
+
+    ct = mg.from_mont(ct_mont, n2_ctx)             # canonical, < n^2
+    B = ct.shape[1]
+
+    # Reduce mod p^2 / q^2 by wide Montgomery reduction (exact), then one
+    # modmul by R^3 lands the residue in Montgomery form.
+    ct2 = jnp.concatenate([ct, ct], axis=1)        # (L, 2B)
+    w = mg.mont_reduce_wide(ct2, sq_ctx)           # c * R^{-1}, < 2m
+    r3 = jnp.concatenate([jnp.broadcast_to(r3_p, (Lh, B)),
+                          jnp.broadcast_to(r3_q, (Lh, B))], axis=1)
+    base_m = mg.mont_mul(w, r3, sq_ctx)            # c * R (Montgomery form)
+
+    digits = jnp.concatenate([
+        jnp.broadcast_to(exp_digits_pq[:, 0:1], (n_win_dec, B)),
+        jnp.broadcast_to(exp_digits_pq[:, 1:2], (n_win_dec, B)),
+    ], axis=1)
+    u = mg.mont_exp(base_m, digits, sq_ctx, window=WINDOW)
+    u = mg.from_mont(u, sq_ctx)                    # c^{p-1} mod p^2 | q^2
+
+    # L(u) = (u-1)/p via exact Hensel division (u ≡ 1 mod p/q).
+    one_arr = jnp.zeros((Lh, 1), dtype=LIMB_DTYPE).at[0, 0].set(1)
+    um1 = sub_mod_base(u, one_arr)
+    dinv = jnp.concatenate([jnp.broadcast_to(pinv_R, (Lq, B)),
+                            jnp.broadcast_to(qinv_R, (Lq, B))], axis=1)
+    t = exact_div(um1, dinv, Lq)                   # (Lq, 2B) L-values
+
+    # m_p = t*h_p mod p ; m_q = t*h_q mod q (h stored as h*R: one modmul).
+    hR = jnp.concatenate([jnp.broadcast_to(hpR, (Lq, B)),
+                          jnp.broadcast_to(hqR, (Lq, B))], axis=1)
+    mpq = mg.mont_mul(t, hR, pq_ctx)
+    mpq = cond_sub(mpq, pq_ctx.n_limbs)
+    mp, mq = mpq[:, :B], mpq[:, B:]
+
+    # CRT recombine: m = m_p + p * ((m_q - m_p) * p^{-1} mod q)
+    mp_mod_q = cond_sub(mp, q_limbs)               # m_p < p < 2q
+    q_minus = sub_mod_base(jnp.broadcast_to(q_limbs, (Lq, B)), mp_mod_q)
+    diff = cond_sub(normalize(mq + q_minus), q_limbs)
+    u2 = mg.mont_mul(diff, pinvqR, q_ctx)
+    u2 = cond_sub(u2, q_limbs)                     # (Lq, B) < q
+    pu = big_mul(u2, p_limbs, out_limbs=Ln)
+    mp_pad = jnp.concatenate(
+        [mp, jnp.zeros((Ln - Lq, B), dtype=LIMB_DTYPE)], axis=0)
+    return normalize(pu + mp_pad)                  # < n
+
+
+@partial(jax.jit, static_argnames=("groups", "seg", "L"))
+def _segment_tree_reduce(ct, ctx, groups, seg, L):
+    """One fused device program: scatter into power-of-two segments padded
+    with the Montgomery one, then log2 rounds of rotate-within-segment +
+    modmul (the TPU form of the reference's __padded_ct rotate-add loop,
+    ipcl_python.py:810-827)."""
+    P = 1 << max(0, (seg - 1).bit_length())
+    B = pad_batch(groups * P)
+    arr = jnp.broadcast_to(ctx.one, (L, B))
+    src = np.arange(groups * seg, dtype=np.int32)
+    dst = np.concatenate([np.arange(g * P, g * P + seg)
+                          for g in range(groups)]).astype(np.int32)
+    arr = arr.at[:, dst].set(jnp.take(ct, jnp.asarray(src), axis=1))
+    shift = 1
+    while shift < P:
+        perm = np.arange(B, dtype=np.int32)
+        for g in range(groups):
+            base = g * P
+            perm[base:base + P] = base + (np.arange(P) + shift) % P
+        rot = jnp.take(arr, jnp.asarray(perm), axis=1)
+        arr = mg.mont_mul(arr, rot, ctx)
+        shift <<= 1
+    out_idx = np.zeros(pad_batch(groups), dtype=np.int32)
+    out_idx[:groups] = np.arange(groups, dtype=np.int32) * P
+    return jnp.take(arr, jnp.asarray(out_idx), axis=1)
+
+
 @partial(jax.jit, static_argnames=("L",))
 def _encrypt_raw(m_limbs, n_limbs, ctx, L):
     mn = big_mul(m_limbs, n_limbs, out_limbs=L)
     ct = normalize(mn.at[0].add(1))
     return mg.to_mont(ct, ctx)
+
+
+@jax.jit
+def _obfuscate_djn(ct_mont, digits, comb, ctx):
+    """ct * hs^r via the per-key comb: XLA lane-gather of the per-window
+    factors, then the Pallas product-chain kernel (zero squarings)."""
+    if mg._on_tpu():
+        from ..ops import pallas_mont as pk
+        idx = digits[:, None, :].astype(jnp.int32)          # (n_win, 1, B)
+        factors = jnp.take_along_axis(
+            comb, jnp.broadcast_to(idx, (comb.shape[0], comb.shape[1],
+                                         digits.shape[1])), axis=2)
+        return pk.mont_chain_p(factors, ct_mont, ctx.n_limbs, ctx.n0inv)
+    return mg.mont_exp_fixed_base(comb, digits, ctx, acc0=ct_mont)
+
+
+@partial(jax.jit, static_argnames=("L",))
+def _encrypt_djn(m_limbs, digits, comb, n_limbs, ctx, L):
+    """Fused DJN encrypt: (1 + m*n) -> Montgomery -> comb obfuscator."""
+    mn = big_mul(m_limbs, n_limbs, out_limbs=L)
+    ct = normalize(mn.at[0].add(1))
+    ct = mg.mont_mul(ct, ctx.r2, ctx)
+    return _obfuscate_djn(ct, digits, comb, ctx)
 
 
 # ---------------------------------------------------------------------------
@@ -435,53 +516,11 @@ class PrivateContext:
         the vector lanes full (the reference backend runs them as separate
         CPU loops inside ipcl::PrivateKey::decrypt).
         """
-        pub = self.pub
-        from ..ops.limb import sub_mod_base
-
-        ct = mg.from_mont(ct_mont, pub.ctx)        # canonical, < n^2
-        B = ct.shape[1]
-        Lh, Lq, Ln = self.Lh, self.Lq, pub.Ln
-
-        # Reduce mod p^2 / q^2 by wide Montgomery reduction (exact), then
-        # one modmul by R^3 lands the residue in Montgomery form.
-        sq_ctx = self._sq_ctx(B)
-        ct2 = jnp.concatenate([ct, ct], axis=1)    # (L, 2B)
-        w = mg.mont_reduce_wide(ct2, sq_ctx)       # c * R^{-1}, < 2m
-        r3 = jnp.concatenate([jnp.broadcast_to(self.r3_p, (Lh, B)),
-                              jnp.broadcast_to(self.r3_q, (Lh, B))], axis=1)
-        base_m = mg.mont_mul(w, r3, sq_ctx)        # c * R (Montgomery form)
-
-        digits = jnp.concatenate([
-            jnp.broadcast_to(self.exp_digits_pq[:, 0:1], (self.n_win_dec, B)),
-            jnp.broadcast_to(self.exp_digits_pq[:, 1:2], (self.n_win_dec, B)),
-        ], axis=1)
-        u = mg.mont_exp(base_m, digits, sq_ctx, window=WINDOW)
-        u = mg.from_mont(u, sq_ctx)                # c^{p-1} mod p^2 | mod q^2
-
-        # L(u) = (u-1)/p via exact Hensel division (u ≡ 1 mod p/q).
-        one_arr = jnp.zeros((Lh, 1), dtype=LIMB_DTYPE).at[0, 0].set(1)
-        um1 = sub_mod_base(u, one_arr)
-        dinv = jnp.concatenate([jnp.broadcast_to(self.pinv_R, (Lq, B)),
-                                jnp.broadcast_to(self.qinv_R, (Lq, B))], axis=1)
-        t = exact_div(um1, dinv, Lq)               # (Lq, 2B) L-values, < p/q
-
-        # m_p = t*h_p mod p ; m_q = t*h_q mod q: one Montgomery modmul each
-        # since h is stored as h*R.
-        pq_ctx = self._pq_ctx(B)
-        hR = jnp.concatenate([jnp.broadcast_to(self.hpR, (Lq, B)),
-                              jnp.broadcast_to(self.hqR, (Lq, B))], axis=1)
-        mpq = mg.mont_mul(t, hR, pq_ctx)           # t*h mod m, < 2m
-        mpq = cond_sub(mpq, pq_ctx.n_limbs)
-        mp, mq = mpq[:, :B], mpq[:, B:]
-
-        # CRT recombine: m = m_p + p * ((m_q - m_p) * p^{-1} mod q)
-        mp_mod_q = cond_sub(mp, self.q_limbs)      # m_p < p < 2q
-        q_minus = sub_mod_base(jnp.broadcast_to(self.q_limbs, (Lq, B)), mp_mod_q)
-        diff = cond_sub(normalize(mq + q_minus), self.q_limbs)
-        u2 = mg.mont_mul(diff, self.pinvqR, self._q_ctx)
-        u2 = cond_sub(u2, self.q_limbs)            # (Lq, B) < q
-        pu = big_mul(u2, self.p_limbs, out_limbs=Ln)
-        mp_pad = jnp.concatenate(
-            [mp, jnp.zeros((Ln - Lq, B), dtype=LIMB_DTYPE)], axis=0)
-        m = normalize(pu + mp_pad)                 # < n
+        B = ct_mont.shape[1]
+        m = _crt_decrypt(
+            ct_mont, self.pub.ctx, self._sq_ctx(B), self._pq_ctx(B),
+            self._q_ctx, self.r3_p, self.r3_q, self.exp_digits_pq,
+            self.pinv_R, self.qinv_R, self.hpR, self.hqR,
+            self.p_limbs, self.q_limbs, self.pinvqR,
+            self.Lh, self.Lq, self.pub.Ln, self.n_win_dec)
         return limbs_to_ints(np.asarray(m))[:b]

@@ -137,16 +137,10 @@ def mont_mul(a: jnp.ndarray, b: jnp.ndarray, ctx: MontCtx) -> jnp.ndarray:
     """
     if _on_tpu():
         from . import pallas_mont as pk
-        L = a.shape[0]
-        B = max(a.shape[1], b.shape[1], ctx.n_limbs.shape[1])
-        ap, BP = _pad_lanes(jnp.broadcast_to(a, (L, B)), B)
-        bp, _ = _pad_lanes(jnp.broadcast_to(b, (L, B)), B)
-        np_, _ = _pad_lanes(jnp.broadcast_to(ctx.n_limbs, (L, B)), B)
-        n0 = jnp.broadcast_to(ctx.n0inv, (B,))
-        n0p, _ = _pad_lanes(n0.reshape(1, B), B)
-        # padding lanes have n=0 -> m*0 contributes nothing; outputs there
-        # are garbage and sliced off.
-        return pk.mont_mul_p(ap, bp, np_, n0p[0])[:, :B]
+        # broadcasting/padding happens inside the jitted kernel wrapper —
+        # zero eager device ops per call (dispatch latency through the
+        # remote tunnel is ~ms per op).
+        return pk.mont_mul_p(a, b, ctx.n_limbs, ctx.n0inv)
     return _mont_mul_jnp(a, b, ctx)
 
 
@@ -251,24 +245,20 @@ def mont_exp(base: jnp.ndarray, digits: jnp.ndarray, ctx: MontCtx,
     pure-jnp loop elsewhere.  See _mont_exp_jnp for semantics."""
     if _on_tpu() and window == 4:
         from . import pallas_mont as pk
-        L = base.shape[0]
-        B = max(base.shape[1], ctx.n_limbs.shape[1], digits.shape[1])
         if isinstance(win_start, int) and win_start > 0:
             # Mosaic does not skip loop iterations below a dynamic start —
             # slice the MSB-zero windows off on the host instead, rounded
-            # up to a power-of-two bucket to bound recompiles.
+            # up to a power-of-two bucket to bound recompiles.  Callers
+            # pass numpy digits so the slice costs nothing.
             needed = digits.shape[0] - win_start
-            bucket = min(digits.shape[0], max(4, 1 << max(0, needed - 1).bit_length()))
+            bucket = min(digits.shape[0],
+                         max(4, 1 << max(0, needed - 1).bit_length()))
             digits = digits[digits.shape[0] - bucket:]
             win_start = 0
-        bp, _ = _pad_lanes(jnp.broadcast_to(base, (L, B)), B)
-        dp, _ = _pad_lanes(
-            jnp.broadcast_to(digits, (digits.shape[0], B)).astype(jnp.uint32), B)
-        np_, _ = _pad_lanes(jnp.broadcast_to(ctx.n_limbs, (L, B)), B)
-        onep, _ = _pad_lanes(jnp.broadcast_to(ctx.one, (L, B)), B)
-        n0p, _ = _pad_lanes(jnp.broadcast_to(ctx.n0inv, (B,)).reshape(1, B), B)
-        return pk.mont_exp_p(bp, dp, np_, n0p[0], onep,
-                             win_start=win_start)[:, :B]
+        if isinstance(digits, np.ndarray):
+            digits = jnp.asarray(digits.astype(np.uint32))
+        return pk.mont_exp_p(base, digits, ctx.n_limbs, ctx.n0inv, ctx.one,
+                             win_start=int(win_start))
     return _mont_exp_jnp(base, digits, ctx, window, win_start)
 
 

@@ -121,13 +121,16 @@ def _pad_to(x, BP):
     return jnp.pad(x, pad)
 
 
+@jax.jit
 def mont_mul_p(a, b, n, n0):
-    """a, b, n: (L, B) uint32; n0: (B,) or (1,)."""
-    L, B = a.shape
+    """a, b: (L, Ba)/(L, Bb) uint32 (broadcast internally); n: (L, ·);
+    n0: (B,) or (1,)."""
+    L = a.shape[0]
+    B = max(a.shape[1], b.shape[1], n.shape[1] if n.ndim == 2 else 1)
     TB = min(TB_MUL, -(-B // 128) * 128)
     BP = -(-B // TB) * TB
-    a = _pad_to(a, BP)
-    b = _pad_to(b, BP)
+    a = _pad_to(jnp.broadcast_to(a, (L, B)), BP)
+    b = _pad_to(jnp.broadcast_to(b, (L, B)), BP)
     n = _pad_to(jnp.broadcast_to(n, (L, B)), BP)
     n0r = _pad_to(jnp.broadcast_to(n0.reshape(1, -1), (1, B)), BP).astype(jnp.uint32)
     bs = lambda: pl.BlockSpec((L, TB), lambda j: (0, j),
@@ -178,16 +181,19 @@ def _mont_exp_kernel(win_start_ref, dig_ref, base_ref, n_ref, n0_ref,
     o_ref[...] = acc
 
 
+@functools.partial(jax.jit, static_argnames=("win_start",))
 def mont_exp_p(base, digits, n, n0, one, win_start=0):
     """base^e for per-element 4-bit-window exponents, one kernel call.
 
     base, n, one: (L, B); digits: (n_win, B) MSB-first; n0: (B,) or (1,).
     """
-    L, B = base.shape
+    L = base.shape[0]
+    B = max(base.shape[1], digits.shape[1],
+            n.shape[1] if n.ndim == 2 else 1)
     n_win = digits.shape[0]
     TB = min(TB_EXP, -(-B // 128) * 128)
     BP = -(-B // TB) * TB
-    base = _pad_to(base, BP)
+    base = _pad_to(jnp.broadcast_to(base, (L, B)), BP)
     n = _pad_to(jnp.broadcast_to(n, (L, B)), BP)
     one = _pad_to(jnp.broadcast_to(one, (L, B)), BP)
     n0r = _pad_to(jnp.broadcast_to(jnp.asarray(n0).reshape(1, -1), (1, B)),
@@ -235,6 +241,7 @@ def _mont_chain_kernel(f_ref, a0_ref, n_ref, n0_ref, o_ref):
     o_ref[...] = _mm_val(o_ref[...], f_ref[0], n_ref[...], n0_ref[0:1, :], L)
 
 
+@jax.jit
 def mont_chain_p(factors, acc0, n, n0):
     """acc0 * prod_j factors[j] — factors: (n_win, L, B); acc0: (L, B)."""
     n_win, L, B = factors.shape
