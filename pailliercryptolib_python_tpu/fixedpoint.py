@@ -233,11 +233,21 @@ def encode_vector(values, n: int, max_int: int):
     exponents: np.int64 array.  Bit-exact with FixedPointNumber.encode
     applied per element.
     """
-    arr = np.asarray(values)
-    if arr.dtype == object or arr.dtype.kind not in "fiu":
-        # mixed / exotic types: exact scalar path
+    if not isinstance(values, np.ndarray):
+        # Python sequences keep per-element types (a list may mix ints and
+        # floats, and int vs float changes the exponent rule) — use the
+        # exact scalar path, as the reference does (ipcl_python.py:136-139).
         encs, exps = [], []
-        for v in (values if not isinstance(values, np.ndarray) else arr.tolist()):
+        for v in values:
+            e = FixedPointNumber.encode(v, n, max_int)
+            encs.append(e.encoding)
+            exps.append(e.exponent)
+        return encs, np.asarray(exps, dtype=np.int64)
+
+    arr = values
+    if arr.dtype == object or arr.dtype.kind not in "fiu":
+        encs, exps = [], []
+        for v in arr.tolist():
             e = FixedPointNumber.encode(v, n, max_int)
             encs.append(e.encoding)
             exps.append(e.exponent)

@@ -328,52 +328,54 @@ class PublicContext:
         return mg.to_mont(jnp.asarray(arr), self.ctx)
 
 
-@partial(jax.jit, static_argnames=("Lh", "Lq", "Ln", "n_win_dec"))
-def _crt_decrypt(ct_mont, n2_ctx, sq_ctx, pq_ctx, q_ctx, r3_p, r3_q,
-                 exp_digits_pq, pinv_R, qinv_R, hpR, hqR, p_limbs, q_limbs,
-                 pinvqR, Lh, Lq, Ln, n_win_dec):
-    """The whole CRT decryption as ONE device program.
+@partial(jax.jit, static_argnames=("Lh",))
+def _crt_stage_reduce(ct_mont, n2_ctx, sq_ctx, r3_p, r3_q, Lh):
+    """CRT stage 1: mod-n^2 export + wide Montgomery reduction mod p^2/q^2.
 
-    Mod-p^2 and mod-q^2 paths run FUSED as a batch of width 2B with
-    per-element moduli; the L-function is an exact Hensel division; the
-    recombination is a couple of half-width modmuls.  See
-    PrivateContext.decrypt_to_ints for the math commentary.
-    """
-    from ..ops.limb import sub_mod_base
-
+    Returns the 2B-wide Montgomery-form residues [c mod p^2 | c mod q^2]
+    (one modmul by the host-precomputed R^3 turns the REDC output c*R^{-1}
+    directly into c*R)."""
     ct = mg.from_mont(ct_mont, n2_ctx)             # canonical, < n^2
     B = ct.shape[1]
-
-    # Reduce mod p^2 / q^2 by wide Montgomery reduction (exact), then one
-    # modmul by R^3 lands the residue in Montgomery form.
     ct2 = jnp.concatenate([ct, ct], axis=1)        # (L, 2B)
     w = mg.mont_reduce_wide(ct2, sq_ctx)           # c * R^{-1}, < 2m
     r3 = jnp.concatenate([jnp.broadcast_to(r3_p, (Lh, B)),
                           jnp.broadcast_to(r3_q, (Lh, B))], axis=1)
-    base_m = mg.mont_mul(w, r3, sq_ctx)            # c * R (Montgomery form)
+    return mg.mont_mul(w, r3, sq_ctx)              # c * R (Montgomery form)
 
+
+@partial(jax.jit, static_argnames=("n_win_dec",))
+def _crt_stage_exp(base_m, sq_ctx, exp_digits_pq, n_win_dec):
+    """CRT stage 2: the fused 2B-wide modexp (exponents p-1 | q-1)."""
+    B = base_m.shape[1] // 2
     digits = jnp.concatenate([
         jnp.broadcast_to(exp_digits_pq[:, 0:1], (n_win_dec, B)),
         jnp.broadcast_to(exp_digits_pq[:, 1:2], (n_win_dec, B)),
     ], axis=1)
     u = mg.mont_exp(base_m, digits, sq_ctx, window=WINDOW)
-    u = mg.from_mont(u, sq_ctx)                    # c^{p-1} mod p^2 | q^2
+    return mg.from_mont(u, sq_ctx)                 # c^{p-1} mod p^2 | q^2
 
-    # L(u) = (u-1)/p via exact Hensel division (u ≡ 1 mod p/q).
+
+@partial(jax.jit, static_argnames=("Lh", "Lq", "Ln"))
+def _crt_stage_recombine(u, pq_ctx, q_ctx, pinv_R, qinv_R, hpR, hqR,
+                         p_limbs, q_limbs, pinvqR, Lh, Lq, Ln):
+    """CRT stage 3: L-function (exact Hensel division), h-multiplies, and
+    Garner recombination m = m_p + p*((m_q - m_p) * p^{-1} mod q)."""
+    from ..ops.limb import sub_mod_base
+
+    B = u.shape[1] // 2
     one_arr = jnp.zeros((Lh, 1), dtype=LIMB_DTYPE).at[0, 0].set(1)
     um1 = sub_mod_base(u, one_arr)
     dinv = jnp.concatenate([jnp.broadcast_to(pinv_R, (Lq, B)),
                             jnp.broadcast_to(qinv_R, (Lq, B))], axis=1)
     t = exact_div(um1, dinv, Lq)                   # (Lq, 2B) L-values
 
-    # m_p = t*h_p mod p ; m_q = t*h_q mod q (h stored as h*R: one modmul).
     hR = jnp.concatenate([jnp.broadcast_to(hpR, (Lq, B)),
                           jnp.broadcast_to(hqR, (Lq, B))], axis=1)
     mpq = mg.mont_mul(t, hR, pq_ctx)
     mpq = cond_sub(mpq, pq_ctx.n_limbs)
     mp, mq = mpq[:, :B], mpq[:, B:]
 
-    # CRT recombine: m = m_p + p * ((m_q - m_p) * p^{-1} mod q)
     mp_mod_q = cond_sub(mp, q_limbs)               # m_p < p < 2q
     q_minus = sub_mod_base(jnp.broadcast_to(q_limbs, (Lq, B)), mp_mod_q)
     diff = cond_sub(normalize(mq + q_minus), q_limbs)
@@ -517,10 +519,15 @@ class PrivateContext:
         CPU loops inside ipcl::PrivateKey::decrypt).
         """
         B = ct_mont.shape[1]
-        m = _crt_decrypt(
-            ct_mont, self.pub.ctx, self._sq_ctx(B), self._pq_ctx(B),
-            self._q_ctx, self.r3_p, self.r3_q, self.exp_digits_pq,
-            self.pinv_R, self.qinv_R, self.hpR, self.hqR,
-            self.p_limbs, self.q_limbs, self.pinvqR,
-            self.Lh, self.Lq, self.pub.Ln, self.n_win_dec)
+        # Three jitted stages rather than one: XLA's compile time explodes
+        # (~1s/stage separate vs ~7min fused) when the reduce, the Pallas
+        # modexp and the recombination land in a single program.
+        base_m = _crt_stage_reduce(ct_mont, self.pub.ctx, self._sq_ctx(B),
+                                   self.r3_p, self.r3_q, self.Lh)
+        u = _crt_stage_exp(base_m, self._sq_ctx(B), self.exp_digits_pq,
+                           self.n_win_dec)
+        m = _crt_stage_recombine(
+            u, self._pq_ctx(B), self._q_ctx, self.pinv_R, self.qinv_R,
+            self.hpR, self.hqR, self.p_limbs, self.q_limbs, self.pinvqR,
+            self.Lh, self.Lq, self.pub.Ln)
         return limbs_to_ints(np.asarray(m))[:b]
