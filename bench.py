@@ -31,16 +31,27 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _sync(x):
+    """Force real completion: block_until_ready through the remote runtime
+    can return before execution finishes, so pull a few bytes to host."""
+    if hasattr(x, "shape"):
+        np.asarray(x[:1, :8])
+    return x
+
+
 def timeit(fn, warmup=1, iters=3):
-    """Median wall time of fn() (fn must block on completion)."""
-    for _ in range(warmup):
+    """Wall time per fn() call: runs `iters` back-to-back calls and one
+    device->host sync at the end (amortizes the ~30ms tunnel round trip
+    instead of paying it per call)."""
+    _sync(fn())
+    for _ in range(max(0, warmup - 1)):
         fn()
-    ts = []
+    t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
-        t0 = time.perf_counter()
-        fn()
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+        out = fn()
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
 
 
 def main():

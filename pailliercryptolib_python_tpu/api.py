@@ -209,6 +209,10 @@ class PaillierEncryptedNumber:
     few) batched device kernels instead of Python loops.
     """
 
+    # Make numpy defer to our reflected operators (pt_array @ ct,
+    # pt_array + ct, ...) instead of trying to broadcast over the object.
+    __array_priority__ = 1000
+
     def __init__(self, public_key: PaillierPublicKey,
                  ciphertext: ipclCipherText, exponents, length: int):
         if ciphertext.public_key != public_key.pubkey:
