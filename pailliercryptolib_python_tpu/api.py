@@ -297,17 +297,18 @@ class PaillierEncryptedNumber:
         return self._ctx().mul_pt(ct_dev, exps)
 
     def _invert_columns(self, ct_dev, flags: np.ndarray, b: int):
-        """Invert flagged ciphertext columns mod n^2.
+        """Invert flagged ciphertext columns mod n^2, on device.
 
-        Host-side modular inverse for now (pow(c, -1, n^2) per flagged
-        element — the reference uses gmpy2.invert per element,
-        ipcl_python.py:272-276); a device-side batched binary-xgcd kernel
-        is the planned replacement."""
+        Batched binary-xgcd (ops.montgomery.mont_inv) where the reference
+        round-trips every element through host gmpy2.invert
+        (ipcl_python.py:272-276).  Unflagged columns pass through."""
+        from .ops import montgomery as mg
         ctx = self._ctx()
-        ints = ctx.export_cts(ct_dev, b)
-        nsq = self.public_key.nsquare
-        out = [pow(c, -1, nsq) if f else c for c, f in zip(ints, flags)]
-        return ctx.import_cts(out)
+        flag_arr = np.zeros(ct_dev.shape[1], dtype=bool)
+        flag_arr[:len(flags)] = flags
+        inv = mg.mont_inv(ct_dev, ctx.ctx)
+        import jax.numpy as jnp
+        return jnp.where(jnp.asarray(flag_arr)[None, :], inv, ct_dev)
 
     # -- addition / subtraction ---------------------------------------------
 

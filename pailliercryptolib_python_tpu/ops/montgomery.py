@@ -333,6 +333,83 @@ def _mont_exp_shared_jnp(base: jnp.ndarray, digits: jnp.ndarray, ctx: MontCtx,
     return lax.fori_loop(win_start, n_win, body, acc0)
 
 
+def _shr1(w: jnp.ndarray) -> jnp.ndarray:
+    """Whole-number right shift by one bit on canonical limbs."""
+    hi = jnp.concatenate([w[1:] & 1, jnp.zeros((1, w.shape[1]),
+                                               dtype=LIMB_DTYPE)], axis=0)
+    return (w >> 1) | (hi << (LIMB_BITS - 1))
+
+
+@jax.jit
+def mont_inv(x_mont: jnp.ndarray, ctx: MontCtx) -> jnp.ndarray:
+    """Batched modular inverse of Montgomery residues, fully on device.
+
+    Binary extended GCD with data-parallel branch selection (jnp.where):
+    a fixed 2*bits(m)+4 iterations suffice since bitlen(a)+bitlen(b)
+    drops every round.  Invariants a ≡ u*X, b ≡ v*X (mod m) with
+    X = x*R the canonical residue value; at the end b = gcd = 1 so
+    v = X^{-1} = x^{-1}R^{-1}, and two Montgomery products by R^2 map it
+    back to Montgomery form (x^{-1}R).
+
+    Replaces the reference's host-side per-element gmpy2.invert
+    (ipcl_python.py:272-276) in the negative-plaintext ct*pt rewrite.
+    Requires gcd(x, m) == 1 (ciphertexts are units mod n^2).
+    """
+    from .limb import sub_mod_base, compare_ge
+
+    L = ctx.num_limbs
+    B = max(x_mont.shape[1], ctx.n_limbs.shape[1])
+    m = jnp.broadcast_to(ctx.n_limbs, (L, B))
+    a0 = cond_sub(jnp.broadcast_to(x_mont, (L, B)), m)     # < m
+    b0 = m
+    u0 = jnp.zeros((L, B), dtype=LIMB_DTYPE).at[0].set(1)
+    v0 = jnp.zeros((L, B), dtype=LIMB_DTYPE)
+
+    def half_mod(w):
+        """w/2 mod m for w < m: even -> w>>1, odd -> (w+m)>>1 (carry out of
+        the top limb cannot occur: w+m < 2m < 2^(16L) by Walter slack)."""
+        odd = (w[0:1] & 1) == 1
+        wm = normalize(w + m)
+        return _shr1(jnp.where(odd, wm, w))
+
+    def sub_mod_m(p, q):
+        """(p - q) mod m for p, q < m, compare-free: p + (m-q), cond-sub."""
+        t = normalize(p + sub_mod_base(m, q))
+        return cond_sub(t, m)
+
+    def body(_, carry):
+        a, b, u, v = carry
+        a_odd = (a[0:1] & 1) == 1                          # (1, B)
+        lt = jnp.logical_not(compare_ge(a, b))[None, :]    # a < b
+        # odd path operands (swap so the subtraction stays non-negative)
+        na = jnp.where(lt, b, a)
+        nb = jnp.where(lt, a, b)
+        nu = jnp.where(lt, v, u)
+        nv = jnp.where(lt, u, v)
+        a_odd_next = _shr1(sub_mod_base(na, nb))
+        u_odd_next = half_mod(sub_mod_m(nu, nv))
+        # even path
+        a_even_next = _shr1(a)
+        u_even_next = half_mod(u)
+        a_n = jnp.where(a_odd, a_odd_next, a_even_next)
+        u_n = jnp.where(a_odd, u_odd_next, u_even_next)
+        b_n = jnp.where(a_odd, nb, b)
+        v_n = jnp.where(a_odd, nv, v)
+        # freeze once a == 0 (b holds gcd, v the inverse)
+        done = jnp.all(a == 0, axis=0)[None, :]
+        a_n = jnp.where(done, a, a_n)
+        b_n = jnp.where(done, b, b_n)
+        u_n = jnp.where(done, u, u_n)
+        v_n = jnp.where(done, v, v_n)
+        return a_n, b_n, u_n, v_n
+
+    iters = 2 * LIMB_BITS * L + 4
+    _, _, _, v = lax.fori_loop(0, iters, body, (a0, b0, u0, v0))
+    # v = x^{-1} R^{-1} mod m -> canonical x^{-1} -> Montgomery x^{-1} R.
+    inv_plain = mont_mul(v, ctx.r2, ctx)
+    return mont_mul(inv_plain, ctx.r2, ctx)
+
+
 # ---------------------------------------------------------------------------
 # Fixed-base comb exponentiation — the encrypt fast path.
 #

@@ -1,6 +1,7 @@
 """Oracle tests for batched Montgomery arithmetic vs Python pow()."""
 
 import random
+from math import gcd as math_gcd
 
 import numpy as np
 import jax.numpy as jnp
@@ -143,3 +144,21 @@ def test_fixed_base_comb_with_acc0():
     acc0 = enter(cs, ctx)
     got = leave(mg.mont_exp_fixed_base(comb, digits, ctx, acc0=acc0), ctx)
     assert got == [(c * pow(g, e, n)) % n for c, e in zip(cs, es)]
+
+
+def test_mont_inv():
+    n = odd_modulus(192)
+    ctx = mg.MontCtx.for_modulus(n)
+    xs = [rng.randrange(1, n) for _ in range(6)]
+    xs = [x if math_gcd(x, n) == 1 else x + 1 for x in xs]
+    am = enter(xs, ctx)
+    got = leave(mg.mont_inv(am, ctx), ctx)
+    assert got == [pow(x, -1, n) for x in xs]
+
+
+def test_mont_inv_edge_values():
+    n = odd_modulus(128)
+    ctx = mg.MontCtx.for_modulus(n)
+    xs = [1, 2, n - 1, n - 2]
+    got = leave(mg.mont_inv(enter(xs, ctx), ctx), ctx)
+    assert got == [pow(x, -1, n) for x in xs]
