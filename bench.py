@@ -84,9 +84,9 @@ def main():
     assert got == msgs, "round-trip parity FAILED"
     log("round-trip parity: ok (16x 2048-bit obfuscated encrypt/decrypt)")
 
-    # ---- reference-shape batches (16/64) + production batch -------------
+    # ---- reference-shape batches (16/64) + production batches -----------
     results = {}
-    for B in (16, 64, 1024):
+    for B in (16, 64, 1024, 4096):
         vals = [int(v) for v in rng.integers(0, 2**60, size=B)]
         enc_limbs = pub.encodings_to_device(vals)
         digits = pub.sample_obfuscator_digits(B)
@@ -168,7 +168,7 @@ def main():
     # dispatch ~30ms), so Encrypt_e2e is relay-bound here; on a locally
     # attached TPU the e2e number converges to the device-path number
     # (+~5ms of vectorized host encode per 1024 batch, measured).
-    B = 1024
+    B = 4096
     enc_per_s = B / results[f"BM_Encrypt/{B}"]
     log(f"e2e-through-relay encrypt throughput: "
         f"{B / results[f'Encrypt_e2e/{B}']:.1f} enc/s")

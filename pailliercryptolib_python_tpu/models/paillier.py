@@ -39,10 +39,14 @@ from ..ops import montgomery as mg
 from ..ops.reduction import exact_div
 
 # Window sizes: 4-bit windows for per-element-base exponentiation (table is
-# (16, L, B) — VMEM/HBM friendly); 8-bit windows for the fixed-base comb
-# (table is per-key, shared across the batch).
+# (16, L, B) — VMEM/HBM friendly); wide windows for the fixed-base comb
+# (table is per-key, shared across the batch, so the only per-encrypt cost
+# is ceil(randbits/window) modmuls — window 12 cuts the 2048-bit DJN
+# encrypt chain from 128 to 86 modmuls for a ~360MB/key HBM table).
+# CPU (tests) keeps window 8: the one-time table build is 11x smaller.
 WINDOW = 4
-COMB_WINDOW = 8
+COMB_WINDOW_TPU = 12
+COMB_WINDOW_CPU = 8
 
 # Batch padding granularity: lanes are 128 wide; small test batches pad to 8.
 def pad_batch(b: int) -> int:
@@ -168,6 +172,8 @@ class PublicContext:
         self.randbits = randbits if randbits else (self.bits // 2)
         self.ctx = mg.MontCtx.for_modulus(self.nsquare)   # mod n^2
         self.L = self.ctx.num_limbs
+        self.comb_window = (COMB_WINDOW_TPU if mg._on_tpu()
+                            else COMB_WINDOW_CPU)
         self.Ln = limbs_for_bits(self.bits)
         self.n_limbs = jnp.asarray(int_to_limbs(n, self.Ln)[:, None])
         # windows for exponents < n (ct*pt path)
@@ -180,7 +186,8 @@ class PublicContext:
 
     @property
     def comb_table(self):
-        """Comb table for hs: T[j][d] = hs^(d*2^(8j)) mod n^2 (Montgomery)."""
+        """Comb table for hs: T[j][d] = hs^(d*2^(w*j)) mod n^2 (Montgomery),
+        w = self.comb_window."""
         if self._comb is None:
             if not self.enable_DJN:
                 raise ValueError("comb_table: DJN disabled for this key")
@@ -188,7 +195,8 @@ class PublicContext:
                 jnp.asarray(int_to_limbs(self.hs % self.nsquare, self.L)[:, None]),
                 self.ctx)
             ladder = mg.build_pow2_ladder(hs_m, self.ctx, self.randbits)
-            self._comb = mg.build_comb_table(ladder, self.ctx, COMB_WINDOW)
+            self._comb = mg.build_comb_table(ladder, self.ctx,
+                                             self.comb_window)
         return self._comb
 
     @property
@@ -214,24 +222,36 @@ class PublicContext:
         return _encrypt_raw(m_limbs, self.n_limbs, self.ctx, self.L)
 
     def sample_obfuscator_digits(self, b: int) -> jnp.ndarray:
-        """Random DJN exponents r (randbits bits) as LSB-first comb digits.
+        """Random DJN exponents r (uniform over [0, 2^randbits)) as
+        LSB-first base-2^comb_window digits, straight from OS entropy.
 
-        With COMB_WINDOW == 8 the digits of a uniform randbits-bit r ARE
-        uniform bytes, so they come straight from OS entropy — no bigint
-        round trip."""
+        With an 8-bit window the digits of a uniform r ARE uniform bytes;
+        for other windows the bytes are bit-unpacked and regrouped — all
+        numpy-vectorized, no bigint round trip."""
         B = pad_batch(b)
-        n_win = self.comb_table.shape[0]
+        w = self.comb_window
+        n_win = -(-self.randbits // w)
         rbytes = -(-self.randbits // 8)
         raw = np.frombuffer(secrets.token_bytes(B * rbytes),
-                            dtype=np.uint8).reshape(B, rbytes)
-        digs = np.zeros((n_win, B), dtype=np.uint32)
-        take = min(n_win, rbytes)
-        digs[:take] = raw[:, :take].T
-        # trim to exactly `randbits` bits in the top byte
-        top_bits = self.randbits - (take - 1) * 8
-        if 0 < top_bits < 8:
-            digs[take - 1] &= (1 << top_bits) - 1
-        return jnp.asarray(digs)
+                            dtype=np.uint8).reshape(B, rbytes).copy()
+        # zero excess top bits so r < 2^randbits (little-endian: top byte
+        # is the last one)
+        extra = 8 * rbytes - self.randbits
+        if extra:
+            raw[:, -1] &= (1 << (8 - extra)) - 1
+        if w == 8:
+            digs = np.zeros((n_win, B), dtype=np.uint32)
+            take = min(n_win, rbytes)
+            digs[:take] = raw[:, :take].T
+            return jnp.asarray(digs)
+        bits = np.unpackbits(raw, axis=1, bitorder="little")  # (B, 8*rbytes)
+        need = n_win * w
+        if bits.shape[1] < need:
+            bits = np.pad(bits, ((0, 0), (0, need - bits.shape[1])))
+        bits = bits[:, :need].reshape(B, n_win, w)
+        weights = (1 << np.arange(w, dtype=np.uint32))
+        digs = (bits.astype(np.uint32) * weights).sum(axis=2, dtype=np.uint32)
+        return jnp.asarray(np.ascontiguousarray(digs.T.astype(np.uint32)))
 
     def obfuscate(self, ct_mont: jnp.ndarray) -> jnp.ndarray:
         """Multiply in a fresh obfuscator (re-randomization / applyObfuscator,
@@ -427,11 +447,21 @@ def _obfuscate_djn(ct_mont, digits, comb, ctx):
     factors, then the Pallas product-chain kernel (zero squarings)."""
     if mg._on_tpu():
         from ..ops import pallas_mont as pk
-        idx = digits[:, None, :].astype(jnp.int32)          # (n_win, 1, B)
+        # Pad the lane axis to a full 128-wide tile BEFORE the gather: a
+        # sub-lane-width gather out of the (n_win, L, 2^w) table aborts
+        # the TPU backend (observed on v5e with w=12), and the chain
+        # kernel pads to 128 lanes anyway.
+        B = ct_mont.shape[1]
+        BP = -(-B // 128) * 128
+        if BP != B:
+            digits = jnp.pad(digits, ((0, 0), (0, BP - B)))
+            ct_mont = jnp.pad(ct_mont, ((0, 0), (0, BP - B)))
+        idx = digits[:, None, :].astype(jnp.int32)          # (n_win, 1, BP)
         factors = jnp.take_along_axis(
             comb, jnp.broadcast_to(idx, (comb.shape[0], comb.shape[1],
                                          digits.shape[1])), axis=2)
-        return pk.mont_chain_p(factors, ct_mont, ctx.n_limbs, ctx.n0inv)
+        out = pk.mont_chain_p(factors, ct_mont, ctx.n_limbs, ctx.n0inv)
+        return out[:, :B]
     return mg.mont_exp_fixed_base(comb, digits, ctx, acc0=ct_mont)
 
 

@@ -1,0 +1,336 @@
+#!/usr/bin/env python3
+"""Production-shaped kernel benchmark: current pallas_mont kernels vs
+improved CIOS inner-loop variants, on the real encrypt/decrypt shapes.
+
+Shapes:
+  chain: n_win=128 factors, L=257, B=1024   (2048-bit DJN encrypt)
+  exp:   n_win=256 windows, L=129, B=2048   (2048-bit CRT decrypt)
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, "/root/repo")
+from pailliercryptolib_python_tpu.ops import pallas_mont as pm  # noqa: E402
+from pailliercryptolib_python_tpu.ops.limb import int_to_limbs, limbs_to_ints  # noqa: E402
+
+MASK = 0xFFFF
+
+
+# --------------------------------------------------------- variant A inner
+def mm_A(a, b, n, n0, L):
+    """v1 formulation: m before update, combined p+q lo/hi, fewer concats."""
+    tb = a.shape[-1]
+    z1 = jnp.zeros((1, tb), jnp.uint32)
+
+    def body(_, carry):
+        t, ar = carry                       # t: (L+2, tb)
+        ai = ar[0:1]
+        p = ai * b                          # (L, tb)
+        m = (((t[0:1] + p[0:1]) & MASK) * n0) & MASK
+        q = m * n                           # (L, tb)
+        lo = (p & MASK) + (q & MASK)        # <= 2^17
+        hi = (p >> 16) + (q >> 16)
+        contrib = (jnp.concatenate([lo, z1], axis=0)
+                   + jnp.concatenate([z1, hi], axis=0))   # (L+1, tb)
+        t = t + jnp.concatenate([contrib, z1], axis=0)
+        c0 = t[0:1] >> 16
+        t = jnp.concatenate([t[1:2] + c0, t[2:], z1], axis=0)
+        ar = jnp.concatenate([ar[1:], ar[0:1]], axis=0)
+        return t, ar
+
+    t, _ = lax.fori_loop(0, L, body,
+                         (jnp.zeros((L + 2, tb), jnp.uint32), a),
+                         unroll=False)
+    return pm._norm_val(t)[:L]
+
+
+# --------------------------------------------------------- variant B inner
+def make_mm_B(a_scr):
+    """Like A but `a` rows come from a VMEM scratch ref (no rotate)."""
+
+    def mm_B(a, b, n, n0, L):
+        tb = b.shape[-1]
+        z1 = jnp.zeros((1, tb), jnp.uint32)
+        a_scr[...] = a
+
+        def body(i, t):
+            ai = a_scr[pl.ds(i, 1), :]
+            p = ai * b
+            m = (((t[0:1] + p[0:1]) & MASK) * n0) & MASK
+            q = m * n
+            lo = (p & MASK) + (q & MASK)
+            hi = (p >> 16) + (q >> 16)
+            contrib = (jnp.concatenate([lo, z1], axis=0)
+                       + jnp.concatenate([z1, hi], axis=0))
+            t = t + jnp.concatenate([contrib, z1], axis=0)
+            c0 = t[0:1] >> 16
+            t = jnp.concatenate([t[1:2] + c0, t[2:], z1], axis=0)
+            return t
+
+        t = lax.fori_loop(0, L, body,
+                          jnp.zeros((L + 2, tb), jnp.uint32), unroll=False)
+        return pm._norm_val(t)[:L]
+
+    return mm_B
+
+
+# ------------------------------------------------- chain kernels (encrypt)
+def chain_kernel_A(f_ref, a0_ref, n_ref, n0_ref, o_ref):
+    L = a0_ref.shape[0]
+    w = pl.program_id(1)
+
+    @pl.when(w == 0)
+    def _():
+        o_ref[...] = a0_ref[...]
+
+    o_ref[...] = mm_A(o_ref[...], f_ref[0], n_ref[...], n0_ref[0:1, :], L)
+
+
+def chain_kernel_B(f_ref, a0_ref, n_ref, n0_ref, o_ref, a_scr):
+    L = a0_ref.shape[0]
+    w = pl.program_id(1)
+
+    @pl.when(w == 0)
+    def _():
+        o_ref[...] = a0_ref[...]
+
+    mm = make_mm_B(a_scr)
+    o_ref[...] = mm(o_ref[...], f_ref[0], n_ref[...], n0_ref[0:1, :], L)
+
+
+def make_chain_call(kernel, scratch=False):
+    def call(factors, acc0, n, n0):
+        n_win, L, B = factors.shape
+        TB = 128
+        n0r = jnp.broadcast_to(jnp.asarray(n0).reshape(1, -1), (1, B)).astype(jnp.uint32)
+        bs = lambda: pl.BlockSpec((L, TB), lambda j, w: (0, j),
+                                  memory_space=pltpu.VMEM)
+        kwargs = {}
+        if scratch:
+            kwargs["scratch_shapes"] = [pltpu.VMEM((L, TB), jnp.uint32)]
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((L, B), jnp.uint32),
+            grid=(B // TB, n_win),
+            in_specs=[
+                pl.BlockSpec((1, L, TB), lambda j, w: (w, 0, j),
+                             memory_space=pltpu.VMEM),
+                bs(), bs(),
+                pl.BlockSpec((1, TB), lambda j, w: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=bs(),
+            **kwargs,
+        )(factors, acc0, jnp.broadcast_to(n, (L, B)), n0r)
+
+    return call
+
+
+# ----------------------------------------------------- exp kernels (decrypt)
+def exp_kernel_A(ws_ref, dig_ref, base_ref, n_ref, n0_ref, one_ref, o_ref):
+    L = base_ref.shape[0]
+    n = n_ref[...]
+    n0 = n0_ref[0:1, :]
+    base = base_ref[...]
+    one = one_ref[...]
+    n_win = dig_ref.shape[0]
+
+    entries = [one, base]
+    for _ in range(14):
+        entries.append(mm_A(entries[-1], base, n, n0, L))
+    table = jnp.stack(entries, axis=0)
+
+    def wbody(j, acc):
+        for _ in range(4):
+            acc = mm_A(acc, acc, n, n0, L)
+        dig = dig_ref[pl.ds(j, 1), :]
+        sel = jnp.zeros_like(acc)
+        for d in range(16):
+            sel = sel + jnp.where(dig == d, table[d], 0)
+        return mm_A(acc, sel, n, n0, L)
+
+    o_ref[...] = lax.fori_loop(ws_ref[0], n_win, wbody, one)
+
+
+def exp_kernel_B(ws_ref, dig_ref, base_ref, n_ref, n0_ref, one_ref, o_ref,
+                 a_scr):
+    L = base_ref.shape[0]
+    n = n_ref[...]
+    n0 = n0_ref[0:1, :]
+    base = base_ref[...]
+    one = one_ref[...]
+    n_win = dig_ref.shape[0]
+    mm = make_mm_B(a_scr)
+
+    entries = [one, base]
+    for _ in range(14):
+        entries.append(mm(entries[-1], base, n, n0, L))
+    table = jnp.stack(entries, axis=0)
+
+    def wbody(j, acc):
+        for _ in range(4):
+            acc = mm(acc, acc, n, n0, L)
+        dig = dig_ref[pl.ds(j, 1), :]
+        sel = jnp.zeros_like(acc)
+        for d in range(16):
+            sel = sel + jnp.where(dig == d, table[d], 0)
+        return mm(acc, sel, n, n0, L)
+
+    o_ref[...] = lax.fori_loop(ws_ref[0], n_win, wbody, one)
+
+
+def make_exp_call(kernel, scratch=False):
+    def call(base, digits, n, n0, one):
+        L, B = base.shape
+        n_win = digits.shape[0]
+        TB = 128
+        n0r = jnp.broadcast_to(jnp.asarray(n0).reshape(1, -1), (1, B)).astype(jnp.uint32)
+        ws = jnp.asarray([0], dtype=jnp.int32)
+        bs = lambda: pl.BlockSpec((L, TB), lambda j, ws: (0, j),
+                                  memory_space=pltpu.VMEM)
+        scr = [pltpu.VMEM((L, TB), jnp.uint32)] if scratch else []
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B // TB,),
+            in_specs=[
+                pl.BlockSpec((n_win, TB), lambda j, ws: (0, j),
+                             memory_space=pltpu.VMEM),
+                bs(), bs(),
+                pl.BlockSpec((1, TB), lambda j, ws: (0, j),
+                             memory_space=pltpu.VMEM),
+                bs(),
+            ],
+            out_specs=bs(),
+            scratch_shapes=scr,
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((L, B), jnp.uint32),
+            grid_spec=grid_spec,
+        )(ws, digits, base, jnp.broadcast_to(n, (L, B)), n0r, one)
+
+    return call
+
+
+def timeit(fn, iters=3):
+    out = fn()
+    np.asarray(out[:1, :8])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    np.asarray(out[:1, :8])
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    which = sys.argv[1:] or ["chain", "exp"]
+    print("devices:", jax.devices(), file=sys.stderr)
+    rng = np.random.default_rng(1)
+
+    if "chain" in which:
+        L, B, n_win = 257, 1024, 128
+        nsq = int.from_bytes(rng.bytes(511), "little") | (1 << 4087) | 1
+        R = 1 << (16 * L)
+        assert 4 * nsq < R
+        n0 = (-pow(nsq, -1, 1 << 16)) % (1 << 16)
+        n = jnp.asarray(int_to_limbs(nsq, L)[:, None])
+        facs = np.empty((n_win, L, B), dtype=np.uint32)
+        fints = [[int.from_bytes(rng.bytes(500), "little") % nsq
+                  for _ in range(B)] for _ in range(n_win)]
+        for w in range(n_win):
+            for j in range(B):
+                facs[w, :, j] = int_to_limbs(fints[w][j], L)
+        facs = jnp.asarray(facs)
+        a0ints = [int.from_bytes(rng.bytes(500), "little") % nsq
+                  for _ in range(B)]
+        a0 = jnp.asarray(np.stack([int_to_limbs(v, L) for v in a0ints], 1))
+        n0a = np.uint32(n0) * np.ones((B,), np.uint32)
+
+        # oracle on a few columns
+        Rinv = pow(R, -1, nsq)
+        def oracle(j):
+            acc = a0ints[j]
+            for w in range(n_win):
+                acc = acc * fints[w][j] * Rinv % nsq
+            return acc
+
+        variants = {
+            "chain_prod": lambda: pm.mont_chain_p(facs, a0, n, jnp.asarray(n0a)),
+            "chain_A": lambda: jax.jit(make_chain_call(chain_kernel_A))(
+                facs, a0, n, n0a),
+            "chain_B": lambda: jax.jit(make_chain_call(chain_kernel_B,
+                                                       scratch=True))(
+                facs, a0, n, n0a),
+        }
+        for name, fn in variants.items():
+            try:
+                out = np.asarray(fn())
+                got = limbs_to_ints(out)[:2]
+                ok = all(g % nsq == oracle(j) or g == oracle(j) + nsq
+                         for j, g in enumerate(got))
+                dt = timeit(fn)
+                per = dt / (n_win * (B // 128))
+                print(f"{name}: ok={ok}  {dt * 1e3:.1f} ms "
+                      f"({per * 1e6:.1f} us/tile-modmul, "
+                      f"{B / dt:.0f} enc-chains/s)", flush=True)
+            except Exception as e:
+                print(f"{name}: FAILED {type(e).__name__}: {str(e)[:300]}",
+                      flush=True)
+
+    if "exp" in which:
+        L, B, n_win = 129, 2048, 256
+        mod = int.from_bytes(rng.bytes(255), "little") | (1 << 2039) | 1
+        R = 1 << (16 * L)
+        assert 4 * mod < R
+        n0 = (-pow(mod, -1, 1 << 16)) % (1 << 16)
+        n = jnp.asarray(int_to_limbs(mod, L)[:, None])
+        one = jnp.asarray(int_to_limbs(R % mod, L)[:, None])
+        baseints = [int.from_bytes(rng.bytes(250), "little") % mod
+                    for _ in range(B)]
+        base = jnp.asarray(np.stack([int_to_limbs(v, L) for v in baseints], 1))
+        digs = rng.integers(0, 16, size=(n_win, B)).astype(np.uint32)
+        digs_j = jnp.asarray(digs)
+        n0a = np.uint32(n0) * np.ones((B,), np.uint32)
+        onef = jnp.broadcast_to(one, (L, B))
+
+        def oracle(j):
+            e = 0
+            for w in range(n_win):
+                e = (e << 4) | int(digs[w, j])
+            return pow(baseints[j], e, mod) * (R % mod) % mod
+
+        variants = {
+            "exp_prod": lambda: pm.mont_exp_p(base, digs_j, n,
+                                              jnp.asarray(n0a), one),
+            "exp_A": lambda: jax.jit(make_exp_call(exp_kernel_A))(
+                base, digs_j, n, n0a, onef),
+            "exp_B": lambda: jax.jit(make_exp_call(exp_kernel_B,
+                                                   scratch=True))(
+                base, digs_j, n, n0a, onef),
+        }
+        for name, fn in variants.items():
+            try:
+                out = np.asarray(fn())
+                got = limbs_to_ints(out)[:2]
+                ok = all(g % mod == oracle(j) % mod or (g - mod) % mod == oracle(j) % mod
+                         for j, g in enumerate(got))
+                dt = timeit(fn)
+                nmm = n_win * 5 * (B // 128)
+                print(f"{name}: ok={ok}  {dt * 1e3:.1f} ms "
+                      f"({dt / nmm * 1e6:.1f} us/tile-modmul, "
+                      f"{B / dt:.0f} exp/s)", flush=True)
+            except Exception as e:
+                print(f"{name}: FAILED {type(e).__name__}: {str(e)[:300]}",
+                      flush=True)
+
+
+if __name__ == "__main__":
+    main()
