@@ -37,16 +37,17 @@ from ..ops.limb import (
 )
 from ..ops import montgomery as mg
 from ..ops.reduction import exact_div
+from ..utils import config as _config
 
 # Window sizes: 4-bit windows for per-element-base exponentiation (table is
 # (16, L, B) — VMEM/HBM friendly); wide windows for the fixed-base comb
 # (table is per-key, shared across the batch, so the only per-encrypt cost
 # is ceil(randbits/window) modmuls — window 12 cuts the 2048-bit DJN
 # encrypt chain from 128 to 86 modmuls for a ~360MB/key HBM table).
-# CPU (tests) keeps window 8: the one-time table build is 11x smaller.
+# CPU (tests) defaults to window 8: the one-time table build is 11x
+# smaller.  Both maxima plus the HBM budget that shrinks the per-key
+# window live in utils.config (runtime knobs, SURVEY.md §5 config row).
 WINDOW = 4
-COMB_WINDOW_TPU = 12
-COMB_WINDOW_CPU = 8
 
 # Batch padding granularity: lanes are 128 wide; small test batches pad to 8.
 def pad_batch(b: int) -> int:
@@ -172,8 +173,11 @@ class PublicContext:
         self.randbits = randbits if randbits else (self.bits // 2)
         self.ctx = mg.MontCtx.for_modulus(self.nsquare)   # mod n^2
         self.L = self.ctx.num_limbs
-        self.comb_window = (COMB_WINDOW_TPU if mg._on_tpu()
-                            else COMB_WINDOW_CPU)
+        cfg = _config.get_config()
+        max_w = cfg.comb_window_tpu if mg._on_tpu() else cfg.comb_window_cpu
+        # shrink the window until the per-key table fits the HBM budget
+        self.comb_window = _config.choose_comb_window(
+            randbits if randbits else (self.bits // 2), self.L, max_w)
         self.Ln = limbs_for_bits(self.bits)
         self.n_limbs = jnp.asarray(int_to_limbs(n, self.Ln)[:, None])
         # windows for exponents < n (ct*pt path)
@@ -187,7 +191,10 @@ class PublicContext:
     @property
     def comb_table(self):
         """Comb table for hs: T[j][d] = hs^(d*2^(w*j)) mod n^2 (Montgomery),
-        w = self.comb_window."""
+        w = self.comb_window.  Built lazily; registered with the LRU comb
+        registry so the total HBM across keys stays under
+        config.comb_hbm_budget_bytes (least-recently-used keys drop their
+        tables and rebuild on next use)."""
         if self._comb is None:
             if not self.enable_DJN:
                 raise ValueError("comb_table: DJN disabled for this key")
@@ -197,7 +204,16 @@ class PublicContext:
             ladder = mg.build_pow2_ladder(hs_m, self.ctx, self.randbits)
             self._comb = mg.build_comb_table(ladder, self.ctx,
                                              self.comb_window)
+            _config.comb_registry.register(
+                self, _config.comb_table_bytes(self.randbits, self.L,
+                                               self.comb_window))
+        else:
+            _config.comb_registry.touch(self)
         return self._comb
+
+    def _drop_comb(self) -> None:
+        """Evict the cached comb table (called by the LRU registry)."""
+        self._comb = None
 
     @property
     def n_exp_digits(self):

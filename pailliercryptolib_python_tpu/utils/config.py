@@ -1,0 +1,137 @@
+"""Runtime configuration + per-key device-table lifecycle.
+
+The reference's only runtime knobs are `context.initializeContext(str)`
+and `hybridControl.setHybridMode(enum)` (SURVEY.md §5, config row —
+/root/reference/bindings/include/ipcl_bindings.hpp:27-42); everything
+else is a CMake compile option.  The TPU framework needs real runtime
+knobs because its resource trade-offs are runtime-sized: the fixed-base
+comb table that accelerates DJN encryption costs
+``ceil(randbits/w) * L * 2^w * 4`` bytes of HBM *per key* (~360 MB at
+2048-bit/w=12), so the window must adapt to the HBM budget and tables of
+retired keys must be evicted.
+
+Knobs (env override in parentheses):
+  * comb_window_tpu / comb_window_cpu  (PAILLIER_COMB_WINDOW)
+        maximum fixed-base comb window; the actual per-key window shrinks
+        until the table fits ``comb_hbm_budget_bytes // 2`` so at least
+        two keys' tables can coexist at full speed.
+  * comb_hbm_budget_bytes              (PAILLIER_COMB_HBM_BUDGET)
+        total HBM allowed across ALL cached comb tables; least-recently
+        used tables are evicted when a new build would exceed it.
+  * exp_window                         (PAILLIER_EXP_WINDOW)
+        fixed window for per-element modexp (ct*pt, CRT decrypt).
+  * mesh_hosts / mesh_chips            (PAILLIER_MESH_SHAPE="H,C")
+        default mesh shape for parallel.mesh.make_mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import threading
+from collections import OrderedDict
+
+
+def _env_int(name: str, default: int) -> int:
+    v = os.environ.get(name)
+    return int(v) if v else default
+
+
+@dataclasses.dataclass
+class Config:
+    comb_window_tpu: int = _env_int("PAILLIER_COMB_WINDOW", 12)
+    comb_window_cpu: int = _env_int("PAILLIER_COMB_WINDOW", 8)
+    comb_hbm_budget_bytes: int = _env_int(
+        "PAILLIER_COMB_HBM_BUDGET", 4 * 1024**3)
+    exp_window: int = _env_int("PAILLIER_EXP_WINDOW", 4)
+    mesh_hosts: int | None = None
+    mesh_chips: int | None = None
+
+    def __post_init__(self):
+        shape = os.environ.get("PAILLIER_MESH_SHAPE")
+        if shape and self.mesh_hosts is None:
+            h, c = shape.split(",")
+            self.mesh_hosts, self.mesh_chips = int(h), int(c)
+
+
+_config = Config()
+_lock = threading.Lock()
+
+
+def get_config() -> Config:
+    return _config
+
+
+def set_config(**kwargs) -> Config:
+    """Update knobs in place; returns the live config."""
+    for k, v in kwargs.items():
+        if not hasattr(_config, k):
+            raise ValueError(f"set_config: unknown knob {k!r}")
+        setattr(_config, k, v)
+    return _config
+
+
+def comb_table_bytes(randbits: int, L: int, window: int) -> int:
+    """HBM footprint of a fixed-base comb table (uint32 entries)."""
+    n_win = -(-randbits // window)
+    return n_win * L * (1 << window) * 4
+
+
+def choose_comb_window(randbits: int, L: int, max_window: int) -> int:
+    """Largest window <= max_window whose table fits half the HBM budget
+    (so two keys' tables coexist without thrash).  Never below 2."""
+    cap = max(1, get_config().comb_hbm_budget_bytes // 2)
+    for w in range(max_window, 2, -1):
+        if comb_table_bytes(randbits, L, w) <= cap:
+            return w
+    return 2
+
+
+class _CombRegistry:
+    """LRU registry of live per-key comb tables, bounded by the HBM budget.
+
+    Owners (PublicContext instances) register their table size on build;
+    when the running total would exceed ``comb_hbm_budget_bytes`` the
+    least-recently-used owners are asked to drop their tables (the device
+    buffers free once unreferenced).  Touch on every use keeps hot keys
+    resident.
+    """
+
+    def __init__(self):
+        self._entries: OrderedDict[int, tuple] = OrderedDict()  # id -> (owner, bytes)
+        self._total = 0
+
+    def register(self, owner, nbytes: int) -> None:
+        with _lock:
+            key = id(owner)
+            if key in self._entries:
+                self._total -= self._entries.pop(key)[1]
+            budget = get_config().comb_hbm_budget_bytes
+            while self._entries and self._total + nbytes > budget:
+                _, (old_owner, old_bytes) = self._entries.popitem(last=False)
+                self._total -= old_bytes
+                old_owner._drop_comb()
+            self._entries[key] = (owner, nbytes)
+            self._total += nbytes
+
+    def touch(self, owner) -> None:
+        with _lock:
+            key = id(owner)
+            if key in self._entries:
+                self._entries.move_to_end(key)
+
+    def unregister(self, owner) -> None:
+        with _lock:
+            ent = self._entries.pop(id(owner), None)
+            if ent is not None:
+                self._total -= ent[1]
+
+    @property
+    def total_bytes(self) -> int:
+        return self._total
+
+    def __len__(self):
+        return len(self._entries)
+
+
+comb_registry = _CombRegistry()
