@@ -299,16 +299,18 @@ class PaillierEncryptedNumber:
     def _invert_columns(self, ct_dev, flags: np.ndarray, b: int):
         """Invert flagged ciphertext columns mod n^2, on device.
 
-        Batched binary-xgcd (ops.montgomery.mont_inv) where the reference
-        round-trips every element through host gmpy2.invert
-        (ipcl_python.py:272-276).  Unflagged columns pass through."""
+        Gathers only the flagged columns, inverts them with Montgomery's
+        product-tree batch inversion (one single-column xgcd + O(F)
+        modmuls — ops.montgomery.mont_inv_tree), and scatters back.  The
+        reference instead round-trips every element through host
+        gmpy2.invert (ipcl_python.py:272-276)."""
         from .ops import montgomery as mg
-        ctx = self._ctx()
-        flag_arr = np.zeros(ct_dev.shape[1], dtype=bool)
-        flag_arr[:len(flags)] = flags
-        inv = mg.mont_inv(ct_dev, ctx.ctx)
         import jax.numpy as jnp
-        return jnp.where(jnp.asarray(flag_arr)[None, :], inv, ct_dev)
+        ctx = self._ctx()
+        idx = np.nonzero(flags)[0].astype(np.int32)
+        sub = ctx.gather_batch(ct_dev, idx)          # (L, pad(F))
+        inv = mg.mont_inv_tree(sub, ctx.ctx)
+        return ct_dev.at[:, jnp.asarray(idx)].set(inv[:, :len(idx)])
 
     # -- addition / subtraction ---------------------------------------------
 

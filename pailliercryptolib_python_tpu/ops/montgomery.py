@@ -410,6 +410,46 @@ def mont_inv(x_mont: jnp.ndarray, ctx: MontCtx) -> jnp.ndarray:
     return mont_mul(inv_plain, ctx.r2, ctx)
 
 
+@jax.jit
+def mont_inv_tree(x_mont: jnp.ndarray, ctx: MontCtx) -> jnp.ndarray:
+    """Batched modular inverse via Montgomery's product-tree trick.
+
+    The fixed-iteration xgcd in :func:`mont_inv` costs ~2*bits(m)
+    iterations over the FULL (L, B) batch — ~1.1 s warm at 2048-bit/B=1024
+    (the round-1 negative-plaintext cliff).  Montgomery's classic batch
+    inversion replaces it with ONE single-column inversion plus O(B)
+    modmuls arranged as a log2(B)-level pairwise product tree:
+
+        up-sweep:   P[l] = pairwise Montgomery products of P[l-1]
+        root:       inv(root) by the xgcd — on a (L, 1) column, so the
+                    8k-iteration loop runs over tiny arrays
+        down-sweep: inv(left) = inv(parent) * right (and vice versa)
+
+    Every input column must be a unit mod m (ciphertexts are; callers pad
+    with ctx.one).  Matches the role of the reference's per-element host
+    gmpy2.invert (/root/reference/src/ipcl_python/ipcl_python.py:272-276).
+    """
+    L, B = x_mont.shape
+    P2 = 1 << max(0, (B - 1).bit_length())
+    x = x_mont
+    if P2 != B:
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(ctx.one, (L, P2 - B))], axis=1)
+    levels = [x]
+    cur = x
+    while cur.shape[1] > 1:
+        cur = mont_mul(cur[:, 0::2], cur[:, 1::2], ctx)
+        levels.append(cur)
+    inv = mont_inv(levels[-1], ctx)                  # (L, 1)
+    for lvl in levels[-2::-1]:
+        left, right = lvl[:, 0::2], lvl[:, 1::2]
+        inv_left = mont_mul(inv, right, ctx)
+        inv_right = mont_mul(inv, left, ctx)
+        inv = jnp.stack([inv_left, inv_right], axis=2).reshape(
+            L, lvl.shape[1])
+    return inv[:, :B]
+
+
 # ---------------------------------------------------------------------------
 # Fixed-base comb exponentiation — the encrypt fast path.
 #
@@ -498,7 +538,8 @@ def mont_exp_fixed_base(comb_table: jnp.ndarray, digits: jnp.ndarray,
 # Host helpers for exponent digit extraction.
 # ---------------------------------------------------------------------------
 
-def exponent_digits(exps, n_win: int, window: int, msb_first: bool = True) -> np.ndarray:
+def exponent_digits(exps, n_win: int, window: int,
+                    msb_first: bool = True) -> np.ndarray:
     """Base-2^window digits of Python-int exponents -> (n_win, B) uint32.
 
     Vectorized through one bytes buffer (window in {4, 8}): exponents are

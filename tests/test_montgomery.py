@@ -162,3 +162,21 @@ def test_mont_inv_edge_values():
     xs = [1, 2, n - 1, n - 2]
     got = leave(mg.mont_inv(enter(xs, ctx), ctx), ctx)
     assert got == [pow(x, -1, n) for x in xs]
+
+
+def test_mont_inv_tree():
+    n = odd_modulus(192)
+    ctx = mg.MontCtx.for_modulus(n)
+    for count in (1, 2, 5, 8, 13):
+        xs = [rng.randrange(1, n) for _ in range(count)]
+        xs = [x if math_gcd(x, n) == 1 else x + 1 for x in xs]
+        got = leave(mg.mont_inv_tree(enter(xs, ctx), ctx), ctx)
+        assert got == [pow(x, -1, n) for x in xs], f"count={count}"
+
+
+def test_mont_inv_tree_edge_values():
+    n = odd_modulus(128)
+    ctx = mg.MontCtx.for_modulus(n)
+    xs = [1, 2, n - 1, n - 2, 1, 1, n - 1]
+    got = leave(mg.mont_inv_tree(enter(xs, ctx), ctx), ctx)
+    assert got == [pow(x, -1, n) for x in xs]
