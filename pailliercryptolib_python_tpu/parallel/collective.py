@@ -70,25 +70,49 @@ def sharded_he_sum(ct: jnp.ndarray, ctx: mg.MontCtx, mesh: Mesh,
 
 
 def sharded_elementwise(fn, mesh: Mesh):
-    """jit an elementwise HE op so batch-sharded operands stay sharded.
+    """Run an elementwise HE op SPMD over the mesh.
 
     Elementwise ciphertext ops (add_ct = modmul, obfuscate, encrypt_raw)
-    need no communication at all: XLA SPMD partitions the (L, B) kernels
-    along B automatically once inputs carry a batch sharding."""
+    need no communication at all; this wrapper makes that sharding real:
+    every (L, B) array argument whose batch axis divides the mesh is
+    placed with the batch sharding (no copy when already there), and the
+    jitted output is CONSTRAINED to stay batch-sharded via out_shardings
+    — so XLA partitions the kernel along B and never gathers."""
     sharded = batch_sharding(mesh)
+    jfn = jax.jit(fn, out_shardings=sharded)
+
+    def place(a):
+        if isinstance(a, jax.Array) and not isinstance(a, jax.core.Tracer) \
+                and a.ndim == 2 and a.shape[1] % mesh.size == 0:
+            return jax.device_put(a, sharded)
+        return a
 
     def wrapper(*args, **kwargs):
-        out = jax.jit(fn)(*args, **kwargs)
-        return jax.device_put(out, sharded)
+        args = jax.tree_util.tree_map(place, args)
+        kwargs = jax.tree_util.tree_map(place, kwargs)
+        return jfn(*args, **kwargs)
 
     return wrapper
 
 
-def federated_aggregate(cts: list, ctx: mg.MontCtx, mesh: Mesh) -> jnp.ndarray:
+def federated_aggregate(cts: list, ctx: mg.MontCtx,
+                        mesh: Mesh | None = None) -> jnp.ndarray:
     """Aggregate K parties' encrypted update vectors (the federated-
     learning headline workload): elementwise HE sum across parties of
     batch-sharded (L, B) ciphertext arrays.  Pure elementwise modmuls —
-    fully SPMD, no cross-device traffic."""
+    fully SPMD, no cross-device traffic.
+
+    When a mesh is given, concrete operands are placed with the batch
+    sharding first (no copy when already there) so XLA partitions every
+    modmul along B; under an outer jit trace, placement is the caller's
+    via in_shardings (the dryrun does this through shard_batch)."""
+    if mesh is not None:
+        sh = batch_sharding(mesh)
+        cts = [jax.device_put(c, sh)
+               if (isinstance(c, jax.Array)
+                   and not isinstance(c, jax.core.Tracer)
+                   and c.sharding != sh) else c
+               for c in cts]
     acc = cts[0]
     for other in cts[1:]:
         acc = mg.mont_mul(acc, other, ctx)

@@ -2,8 +2,9 @@
 (/root/reference/tests/ipcl_python_test.py) — the BASELINE.md bit-exact
 parity gate.
 
-Slow on the CPU fallback path, so gated behind PAILLIER_SLOW_TESTS=1
-(bench.py runs the same round-trip gate on the real device every round).
+Runs in the DEFAULT suite (adds ~90 s on the CPU fallback path); set
+PAILLIER_SKIP_SLOW=1 to skip during quick iteration.  bench.py runs the
+same op suite asserted on the real device every round.
 """
 
 import os
@@ -12,8 +13,8 @@ import numpy as np
 import pytest
 
 pytestmark = pytest.mark.skipif(
-    not os.environ.get("PAILLIER_SLOW_TESTS"),
-    reason="set PAILLIER_SLOW_TESTS=1 for the full-size parity run")
+    os.environ.get("PAILLIER_SKIP_SLOW") == "1",
+    reason="PAILLIER_SKIP_SLOW=1 skips the full-size parity run")
 
 
 @pytest.fixture(scope="module")
