@@ -346,7 +346,9 @@ class ipclPrivateKey:
         return BigNumber(self._ctx.q)
 
     def __eq__(self, other):
-        return self._ctx.q == other._ctx.q
+        # parity: reference compares both primes
+        # (/root/reference/src/ipcl_python/ipcl_python.py:196-199)
+        return (self._ctx.p == other._ctx.p) and (self._ctx.q == other._ctx.q)
 
     def __hash__(self):
         return hash(("ipclPrivateKey", self._ctx.p, self._ctx.q))

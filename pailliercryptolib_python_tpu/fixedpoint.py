@@ -1,5 +1,11 @@
 """Fixed-point codec: float/int <-> (encoding mod n, base-2 exponent).
 
+Derivation note: the scalar `FixedPointNumber` codec below is a condensed
+restyle of the reference's Apache-2.0 FATE-derived codec — bit-exact
+behavioral parity (including error-message strings) is mandated by the
+test contract, so the algorithm and its constants are necessarily the
+same; the helpers and the vectorized layer are new.
+
 Behavioral contract is bit-exact with the reference codec
 (/root/reference/src/ipcl_python/bindings/fixedpoint.py:26-301):
 

@@ -93,5 +93,6 @@ def test_sub_mod_base():
     a = limb.ints_to_limbs(xs, L)
     b = limb.ints_to_limbs(ys, L)
     import jax.numpy as jnp
-    got = limb.limbs_to_ints(np.asarray(limb.sub_mod_base(jnp.asarray(a), jnp.asarray(b))))
+    got = limb.limbs_to_ints(
+        np.asarray(limb.sub_mod_base(jnp.asarray(a), jnp.asarray(b))))
     assert got == [(x - y) % (1 << (16 * L)) for x, y in zip(xs, ys)]

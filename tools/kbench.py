@@ -1,6 +1,16 @@
 #!/usr/bin/env python3
-"""Careful kernel experiments: minimal deltas from the production (v0)
-CIOS formulation, which Mosaic compiles well (55 us/tile-modmul).
+"""Kernel experiments: minimal deltas from the production (v0) CIOS
+formulation, which Mosaic compiles well (55 us/tile-modmul at L=257).
+
+Round-1 findings (from the two earlier generations of this file, now
+consolidated here):
+  * v0 CIOS (rotate-operand, concat-padded adds) compiles to
+    ~55 us per (257, 128)-tile modmul — the kernel is VMEM-pass-bound
+    (~5-6 full (L, TB) array passes per CIOS iteration).
+  * fori_loop unroll=2 and reading accumulator rows from refs via pl.ds
+    (instead of the rotate copy) were within noise of v0.
+  * Wider batch tiles (L, 256)+ roughly double wall time per element —
+    VMEM pressure in the deep loop outweighs per-step amortization.
 
 chain_C    : v0 body, but accumulator rows read from o_ref via pl.ds
              (drops the per-iteration (L,TB) rotate copy).
@@ -21,7 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 sys.path.insert(0, "/root/repo")
 from pailliercryptolib_python_tpu.ops import pallas_mont as pm  # noqa: E402
-from pailliercryptolib_python_tpu.ops.limb import int_to_limbs, limbs_to_ints  # noqa: E402
+from pailliercryptolib_python_tpu.ops.limb import (  # noqa: E402
+    int_to_limbs, limbs_to_ints)
 
 MASK = 0xFFFF
 
