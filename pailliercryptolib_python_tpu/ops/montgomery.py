@@ -54,9 +54,15 @@ class MontCtx:
     n0inv: jnp.ndarray     # (1,) or (B,): -n^{-1} mod 2^16
     r2: jnp.ndarray        # R^2 mod n  (to enter the Montgomery domain)
     one: jnp.ndarray       # R mod n    (Montgomery representation of 1)
+    # optional MXU path (shared modulus only): int8 Toeplitz weights for
+    # the matmul-Montgomery kernels (ops/matmul_mont.py) — wmu (4L, 4L)
+    # for q = T*mu mod R, wm (8L, 4L) for q*m.
+    wmu: jnp.ndarray | None = None
+    wm: jnp.ndarray | None = None
 
     def tree_flatten(self):
-        return (self.n_limbs, self.n0inv, self.r2, self.one), None
+        return (self.n_limbs, self.n0inv, self.r2, self.one,
+                self.wmu, self.wm), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -66,11 +72,18 @@ class MontCtx:
     def num_limbs(self) -> int:
         return self.n_limbs.shape[0]
 
+    # Weight VMEM budget: 48*L^2 bytes must fit alongside scratch in
+    # ~16 MB VMEM; L <= 384 covers every modulus up to ~6100 bits.
+    MXU_MAX_LIMBS = 384
+
     @classmethod
-    def for_modulus(cls, n: int, min_bits: int | None = None) -> "MontCtx":
+    def for_modulus(cls, n: int, min_bits: int | None = None,
+                    mxu: bool | None = None) -> "MontCtx":
         """Build a shared-modulus context on the host (one-time per key).
 
         L is sized so R = 2^(16L) > 4n (two spare bits) — Walter's bound.
+        mxu=None auto-enables the matmul-Montgomery weights on TPU for
+        moduli whose weights fit VMEM.
         """
         bits = max(n.bit_length() + 2, min_bits or 0)
         L = limbs_for_bits(bits)
@@ -78,11 +91,20 @@ class MontCtx:
         n0inv = (-pow(n, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
         r2 = (R * R) % n
         one = R % n
+        if mxu is None:
+            mxu = _on_tpu() and 16 <= L <= cls.MXU_MAX_LIMBS
+        wmu = wm = None
+        if mxu:
+            from . import matmul_mont as _mm
+            mu = (-pow(n, -1, R)) % R
+            wmu = jnp.asarray(_mm.const_mult_weights(mu, L, 4, L))
+            wm = jnp.asarray(_mm.const_mult_weights(n, L, 4, 2 * L))
         return cls(
             n_limbs=jnp.asarray(int_to_limbs(n, L)[:, None]),
             n0inv=jnp.asarray(np.array([n0inv], dtype=np.uint32)),
             r2=jnp.asarray(int_to_limbs(r2, L)[:, None]),
             one=jnp.asarray(int_to_limbs(one, L)[:, None]),
+            wmu=wmu, wm=wm,
         )
 
     @classmethod
@@ -136,6 +158,9 @@ def mont_mul(a: jnp.ndarray, b: jnp.ndarray, ctx: MontCtx) -> jnp.ndarray:
     on TPU, pure-jnp CIOS elsewhere.
     """
     if _on_tpu():
+        if ctx.wmu is not None:
+            from . import pallas_mont2 as pk2
+            return pk2.mm2_mul_p(a, b, ctx.wmu, ctx.wm)
         from . import pallas_mont as pk
         # broadcasting/padding happens inside the jitted kernel wrapper —
         # zero eager device ops per call (dispatch latency through the
@@ -244,7 +269,6 @@ def mont_exp(base: jnp.ndarray, digits: jnp.ndarray, ctx: MontCtx,
     """Fixed-window modexp dispatcher: one Pallas kernel on TPU (w=4),
     pure-jnp loop elsewhere.  See _mont_exp_jnp for semantics."""
     if _on_tpu() and window == 4:
-        from . import pallas_mont as pk
         if isinstance(win_start, int) and win_start > 0:
             # Mosaic does not skip loop iterations below a dynamic start —
             # slice the MSB-zero windows off on the host instead, rounded
@@ -257,6 +281,11 @@ def mont_exp(base: jnp.ndarray, digits: jnp.ndarray, ctx: MontCtx,
             win_start = 0
         if isinstance(digits, np.ndarray):
             digits = jnp.asarray(digits.astype(np.uint32))
+        if ctx.wmu is not None:
+            from . import pallas_mont2 as pk2
+            return pk2.mm2_exp_p(base, digits, ctx.wmu, ctx.wm, ctx.one,
+                                 win_start=int(win_start))
+        from . import pallas_mont as pk
         return pk.mont_exp_p(base, digits, ctx.n_limbs, ctx.n0inv, ctx.one,
                              win_start=int(win_start))
     return _mont_exp_jnp(base, digits, ctx, window, win_start)
@@ -302,7 +331,16 @@ def _mont_exp_jnp(base: jnp.ndarray, digits: jnp.ndarray, ctx: MontCtx,
 
 def mont_exp_shared(base: jnp.ndarray, digits: jnp.ndarray, ctx: MontCtx,
                     window: int = 4, win_start=0) -> jnp.ndarray:
-    """Shared-exponent modexp dispatcher (see _mont_exp_shared_jnp)."""
+    """Shared-exponent modexp dispatcher (see _mont_exp_shared_jnp).
+
+    On TPU with a matmul-Montgomery context, the exponent digits ride
+    scalar prefetch and table selection is one dynamic VMEM read — the
+    CRT-decrypt fast path."""
+    if _on_tpu() and ctx.wmu is not None and window in (4, 5, 6) \
+            and win_start == 0:
+        from . import pallas_mont2 as pk2
+        return pk2.mm2_exp_shared_p(base, digits, ctx.wmu, ctx.wm,
+                                    ctx.one, window=window)
     if _on_tpu() and window == 4:
         return mont_exp(base, digits[:, None], ctx, window=4,
                         win_start=win_start)
