@@ -29,6 +29,7 @@ from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..ops import limb
 from ..ops.limb import (
@@ -198,10 +199,11 @@ class PublicContext:
         if self._comb is None:
             if not self.enable_DJN:
                 raise ValueError("comb_table: DJN disabled for this key")
-            hs_m = mg.to_mont(
-                jnp.asarray(int_to_limbs(self.hs % self.nsquare, self.L)[:, None]),
-                self.ctx)
-            ladder = mg.build_pow2_ladder(hs_m, self.ctx, self.randbits)
+            # The pow2 ladder is a strictly sequential squaring chain and
+            # 1 element wide — on device it wastes 127/128 lanes of every
+            # tile (~1 min at 2048-bit).  Host bigints run the same chain
+            # in ~50 ms; only the WIDE combine stage runs on device.
+            ladder = jnp.asarray(self._host_pow2_ladder())
             self._comb = mg.build_comb_table(ladder, self.ctx,
                                              self.comb_window)
             _config.comb_registry.register(
@@ -214,6 +216,18 @@ class PublicContext:
     def _drop_comb(self) -> None:
         """Evict the cached comb table (called by the LRU registry)."""
         self._comb = None
+
+    def _host_pow2_ladder(self) -> np.ndarray:
+        """P[t] = hs^(2^t) * R mod n^2 (Montgomery form) for t < randbits,
+        computed with host bigints: (randbits, L, 1) uint32."""
+        nsq = self.nsquare
+        R = 1 << (LIMB_BITS * self.L)
+        vals = []
+        cur = self.hs % nsq
+        for _ in range(self.randbits):
+            vals.append(cur * R % nsq)
+            cur = cur * cur % nsq
+        return ints_to_limbs(vals, self.L).T[:, :, None]
 
     @property
     def n_exp_digits(self):
@@ -380,6 +394,15 @@ def _crt_stage_reduce(ct_mont, n2_ctx, sq_ctx, r3_p, r3_q, Lh):
     return mg.mont_mul(w, r3, sq_ctx)              # c * R (Montgomery form)
 
 
+def _crt_stage_exp_half(base_m, sq_ctx, digits, window):
+    """CRT stage 2, one prime's half: shared-modulus shared-exponent
+    modexp + Montgomery exit.
+
+    digits: (n_win,) MSB-first base-2^window digits of p-1 (or q-1)."""
+    u = mg.mont_exp_shared(base_m, digits, sq_ctx, window=window)
+    return mg.from_mont(u, sq_ctx)
+
+
 @partial(jax.jit, static_argnames=("n_win_dec",))
 def _crt_stage_exp(base_m, sq_ctx, exp_digits_pq, n_win_dec):
     """CRT stage 2: the fused 2B-wide modexp (exponents p-1 | q-1)."""
@@ -426,28 +449,35 @@ def _crt_stage_recombine(u, pq_ctx, q_ctx, pinv_R, qinv_R, hpR, hqR,
 @partial(jax.jit, static_argnames=("groups", "seg", "L"))
 def _segment_tree_reduce(ct, ctx, groups, seg, L):
     """One fused device program: scatter into power-of-two segments padded
-    with the Montgomery one, then log2 rounds of rotate-within-segment +
-    modmul (the TPU form of the reference's __padded_ct rotate-add loop,
-    ipcl_python.py:810-827)."""
+    with the Montgomery one, then log2 FOLDING rounds — each round
+    modmuls the upper half of every segment into the lower half, so the
+    total work is ~2x one elementwise pass (the reference's __padded_ct
+    rotate loop, ipcl_python.py:810-827, keeps full width every round)."""
     P = 1 << max(0, (seg - 1).bit_length())
-    B = pad_batch(groups * P)
-    arr = jnp.broadcast_to(ctx.one, (L, B))
-    src = np.arange(groups * seg, dtype=np.int32)
-    dst = np.concatenate([np.arange(g * P, g * P + seg)
-                          for g in range(groups)]).astype(np.int32)
-    arr = arr.at[:, dst].set(jnp.take(ct, jnp.asarray(src), axis=1))
-    shift = 1
-    while shift < P:
-        perm = np.arange(B, dtype=np.int32)
-        for g in range(groups):
-            base = g * P
-            perm[base:base + P] = base + (np.arange(P) + shift) % P
-        rot = jnp.take(arr, jnp.asarray(perm), axis=1)
-        arr = mg.mont_mul(arr, rot, ctx)
-        shift <<= 1
-    out_idx = np.zeros(pad_batch(groups), dtype=np.int32)
-    out_idx[:groups] = np.arange(groups, dtype=np.int32) * P
-    return jnp.take(arr, jnp.asarray(out_idx), axis=1)
+    if seg == P and groups * P == ct.shape[1]:
+        arr = ct
+    else:
+        arr = jnp.broadcast_to(ctx.one, (L, groups * P))
+        src = np.arange(groups * seg, dtype=np.int32)
+        dst = np.concatenate([np.arange(g * P, g * P + seg)
+                              for g in range(groups)]).astype(np.int32)
+        arr = arr.at[:, dst].set(jnp.take(ct, jnp.asarray(src), axis=1))
+    width = P
+    while width > 1:
+        half = width // 2
+        a3 = arr.reshape(L, groups, width)
+        lo = a3[:, :, :half].reshape(L, groups * half)
+        hi = a3[:, :, half:].reshape(L, groups * half)
+        arr = mg.mont_mul(lo, hi, ctx)
+        width = half
+    out = jnp.zeros((L, pad_batch(groups)), dtype=LIMB_DTYPE)
+    out = lax.dynamic_update_slice_in_dim(out, arr[:, :groups], 0, axis=1)
+    # pad columns with the Montgomery one (a valid encryption of zero)
+    if pad_batch(groups) > groups:
+        pad_cols = jnp.broadcast_to(ctx.one,
+                                    (L, pad_batch(groups) - groups))
+        out = lax.dynamic_update_slice_in_dim(out, pad_cols, groups, axis=1)
+    return out
 
 
 @partial(jax.jit, static_argnames=("L",))
@@ -459,25 +489,15 @@ def _encrypt_raw(m_limbs, n_limbs, ctx, L):
 
 @jax.jit
 def _obfuscate_djn(ct_mont, digits, comb, ctx):
-    """ct * hs^r via the per-key comb: XLA lane-gather of the per-window
-    factors, then the Pallas product-chain kernel (zero squarings)."""
-    if mg._on_tpu():
-        from ..ops import pallas_mont as pk
-        # Pad the lane axis to a full 128-wide tile BEFORE the gather: a
-        # sub-lane-width gather out of the (n_win, L, 2^w) table aborts
-        # the TPU backend (observed on v5e with w=12), and the chain
-        # kernel pads to 128 lanes anyway.
-        B = ct_mont.shape[1]
-        BP = -(-B // 128) * 128
-        if BP != B:
-            digits = jnp.pad(digits, ((0, 0), (0, BP - B)))
-            ct_mont = jnp.pad(ct_mont, ((0, 0), (0, BP - B)))
-        idx = digits[:, None, :].astype(jnp.int32)          # (n_win, 1, BP)
-        factors = jnp.take_along_axis(
-            comb, jnp.broadcast_to(idx, (comb.shape[0], comb.shape[1],
-                                         digits.shape[1])), axis=2)
-        out = pk.mont_chain_p(factors, ct_mont, ctx.n_limbs, ctx.n0inv)
-        return out[:, :B]
+    """ct * hs^r via the per-key comb: per-window lane-gather + modmul
+    (zero squarings).
+
+    Same formulation on TPU and CPU.  Round-2 measurement: the fused
+    mont_chain_p Pallas kernel (pre-gathered (n_win, L, B) factors, grid
+    over windows) ran at ~550 us/tile-modmul — 10x SLOWER than streaming
+    one window at a time through the single-modmul kernel (55 us), which
+    also avoids materializing the multi-GB factor array at production
+    batch sizes."""
     return mg.mont_exp_fixed_base(comb, digits, ctx, acc0=ct_mont)
 
 
@@ -522,12 +542,24 @@ class PrivateContext:
         self._sq_ctx_cache = {}
         self._pq_ctx_cache = {}
         self._q_ctx = mg.MontCtx.for_modulus(q, min_bits=LIMB_BITS * Lq)
+        # Shared-modulus contexts for the expensive CRT modexp: on TPU
+        # these carry matmul-Montgomery weights, so the p-half and q-half
+        # run as two shared-modulus mm2 kernels instead of one fused
+        # per-element-moduli CIOS kernel.
+        self._sq_p = mg.MontCtx.for_modulus(psq, min_bits=LIMB_BITS * Lh)
+        self._sq_q = mg.MontCtx.for_modulus(qsq, min_bits=LIMB_BITS * Lh)
 
         # exponents p-1, q-1 as MSB-first digits (padded to same length)
         ebits = max((p - 1).bit_length(), (q - 1).bit_length())
         self.n_win_dec = -(-ebits // WINDOW)
         dig = mg.exponent_digits([p - 1, q - 1], self.n_win_dec, WINDOW)
         self.exp_digits_pq = jnp.asarray(dig)  # (n_win, 2)
+        # shared-exponent fast path (TPU): wider window, 1-D digit streams
+        self.dec_window = 5
+        nw5 = -(-ebits // self.dec_window)
+        dig5 = mg.exponent_digits([p - 1, q - 1], nw5, self.dec_window)
+        self.dig_p = jnp.asarray(dig5[:, 0])
+        self.dig_q = jnp.asarray(dig5[:, 1])
 
         # R^3 mod p^2 / q^2: one modmul turns a wide-REDC output (c*R^{-1})
         # directly into the Montgomery form c*R.
@@ -570,8 +602,17 @@ class PrivateContext:
         # modexp and the recombination land in a single program.
         base_m = _crt_stage_reduce(ct_mont, self.pub.ctx, self._sq_ctx(B),
                                    self.r3_p, self.r3_q, self.Lh)
-        u = _crt_stage_exp(base_m, self._sq_ctx(B), self.exp_digits_pq,
-                           self.n_win_dec)
+        if self._sq_p.wmu is not None:
+            # MXU path: the two half-width exponentiations run as
+            # shared-modulus, shared-exponent matmul-Montgomery kernels.
+            u_p = _crt_stage_exp_half(base_m[:, :B], self._sq_p,
+                                      self.dig_p, self.dec_window)
+            u_q = _crt_stage_exp_half(base_m[:, B:], self._sq_q,
+                                      self.dig_q, self.dec_window)
+            u = jnp.concatenate([u_p, u_q], axis=1)
+        else:
+            u = _crt_stage_exp(base_m, self._sq_ctx(B), self.exp_digits_pq,
+                               self.n_win_dec)
         m = _crt_stage_recombine(
             u, self._pq_ctx(B), self._q_ctx, self.pinv_R, self.qinv_R,
             self.hpR, self.hqR, self.p_limbs, self.q_limbs, self.pinvqR,
