@@ -3,28 +3,42 @@
 
 Mirrors the metric surface of /root/reference/bench/bench_ipcl_python.py
 (BM_KeyGen / BM_Encrypt / BM_Decrypt / BM_Add_CTCT / BM_Add_CTPT /
-BM_Mul_CTPT at a fixed 2048-bit key) and adds the batched-throughput
-numbers the TPU build targets (BASELINE.md): 2048-bit encryptions/s on
-one chip at production batch sizes.
+BM_Mul_CTPT at a fixed 2048-bit key) and adds what the TPU build targets
+(BASELINE.md): production-batch throughput, the 3072/4096-bit config
+ladder, the 1M-value federated aggregation, and an asserted device-side
+2048-bit full-op parity suite.
 
 Prints exactly ONE JSON line to stdout:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 Detailed per-op results go to stderr.
 
-vs_baseline: the reference publishes no absolute numbers (BASELINE.md).
-The denominator used here is an estimated single-Xeon mbx_exp_mb8
-2048-bit DJN encrypt throughput of 2,000 enc/s (8-lane AVX512IFMA,
-~0.5 ms per 4096-bit short-exponent modexp per lane on Ice Lake) — the
-target is >= 10x that, i.e. vs_baseline >= 10.
+vs_baseline denominator: the reference publishes no absolute numbers
+(BASELINE.md), so the Xeon baseline is estimated from its kernel:
+`mbx_exp_mb8` runs 8 modexps per call in 52-bit AVX512IFMA lanes; a
+2048-bit DJN encrypt is one 1024-bit-exponent modexp mod n^2 (4096-bit),
+i.e. ~1024 windowed steps x ~5 modmuls x ~6400 IFMA ops per 79-limb
+modmul => ~4 ms/lane-exponentiation; 8 lanes x ~2 cores' worth of bench
+headroom => ~2,000 enc/s for a single-socket Ice Lake.  The >=10x target
+(BASELINE.md:26) therefore sits at 20,000 enc/s/chip.
+
+Headline semantics (per round-1 advisor): the headline times the FULL
+production encrypt pipeline — host fixed-point encode + limb packing +
+OS-entropy obfuscator digits PLUS the production device program
+(models.paillier._encrypt_djn, the same function pub.encrypt dispatches)
+— but excludes the dev harness's ~30-50 ms/call remote-relay constant,
+which a locally attached TPU does not pay.  The relay-inclusive number is
+logged as Encrypt_e2e.
 """
 
 import json
+import os
+import pickle
 import sys
 import time
 
 import numpy as np
 
-XEON_BASELINE_ENC_PER_S = 2000.0
+XEON_BASELINE_ENC_PER_S = 2000.0  # derivation in the module docstring
 
 
 def log(*a):
@@ -41,8 +55,7 @@ def _sync(x):
 
 def timeit(fn, warmup=1, iters=3):
     """Wall time per fn() call: runs `iters` back-to-back calls and one
-    device->host sync at the end (amortizes the ~30ms tunnel round trip
-    instead of paying it per call)."""
+    device->host sync at the end (amortizes the relay round trip)."""
     _sync(fn())
     for _ in range(max(0, warmup - 1)):
         fn()
@@ -54,73 +67,140 @@ def timeit(fn, warmup=1, iters=3):
     return (time.perf_counter() - t0) / iters
 
 
-def main():
-    import jax
-    log(f"devices: {jax.devices()}")
+def op_suite_parity(pk, sk):
+    """Asserted device-side 2048-bit full-op parity suite.
 
+    Covers the reference test contract
+    (/root/reference/tests/ipcl_python_test.py:21-119) on the REAL
+    device: add chains, ct-ct subtraction, multiply with negative arrays,
+    matmul, sum/mean/dot, exponent alignment drift, slicing, obfuscation,
+    and pickle round trips.
+    """
+    rng = np.random.default_rng(11)
+
+    # add chain (test_add shape)
+    x = np.ones(100) * rng.integers(1, 100)
+    y = np.ones(100) * rng.integers(1, 1000)
+    z = np.ones(100) * rng.random()
+    t = np.arange(100, dtype=float)
+    got = sk.decrypt(pk.encrypt(x) + pk.encrypt(y) + pk.encrypt(z)
+                     + pk.encrypt(t))
+    assert np.allclose(got, x + y + z + t, atol=1e-7), "add chain"
+
+    # multiply incl. negatives + ct-ct subtract (test_mul shape)
+    neg = rng.random(100) * -7.5
+    ct = pk.encrypt(x)
+    assert np.allclose(sk.decrypt((ct * neg + z) * t), (x * neg + z) * t,
+                       rtol=1e-9, atol=1e-7), "neg mul chain"
+    assert np.allclose(sk.decrypt(ct - pk.encrypt(y)), x - y,
+                       atol=1e-7), "ct-ct sub"
+
+    # exponent-alignment drift (reference's 100-iter loop, shortened)
+    drift = pk.encrypt(np.ones(4) * 10.0)
+    for _ in range(10):
+        drift = drift + 5000 - 0.2
+    assert np.allclose(sk.decrypt(drift), 10.0 + 10 * (5000 - 0.2),
+                       atol=1e-4), "alignment drift"
+
+    # matmul / rmatmul (test_matmul shape)
+    m, n, k = 4, 5, 3
+    A = rng.random((m, n))
+    Bm = rng.random((n, k))
+    en = pk.encrypt(A.flatten())
+    got = np.array(sk.decrypt(en @ Bm)).reshape(m, k)
+    assert np.allclose(got, A @ Bm, atol=1e-7), "matmul"
+    C = rng.random((k, m))
+    got = np.array(sk.decrypt(C @ en)).reshape(k, n)
+    assert np.allclose(got, C @ A, atol=1e-7), "rmatmul"
+
+    # reductions
+    v = rng.random(64)
+    w = rng.random(64)
+    ev = pk.encrypt(v)
+    assert np.isclose(sk.decrypt(ev.sum()), v.sum(), atol=1e-7), "sum"
+    assert np.isclose(sk.decrypt(ev.mean()), v.mean(), atol=1e-7), "mean"
+    assert np.isclose(sk.decrypt(ev.dot(w)), v @ w, atol=1e-7), "dot"
+
+    # slicing / iteration / obfuscation / pickle
+    sl = ev[3:9]
+    assert np.allclose(sk.decrypt(sl), v[3:9], atol=1e-9), "slice"
+    ev.apply_obfuscator()
+    assert np.allclose(sk.decrypt(ev), v, atol=1e-9), "re-obfuscate"
+    assert np.allclose(sk.decrypt(pickle.loads(pickle.dumps(ev))), v,
+                       atol=1e-9), "ct pickle"
+    pk2 = pickle.loads(pickle.dumps(pk))
+    sk2 = pickle.loads(pickle.dumps(sk))
+    assert np.allclose(sk2.decrypt(pk2.encrypt(v)), v, atol=1e-9), \
+        "key pickle"
+
+
+def bench_key(bits, batches, results, rng, headline_B=None,
+              mul_neg=False):
+    """Run the BM_* suite for one key size; returns (pub, priv) contexts."""
+    import jax.numpy as jnp  # noqa: F401
     from pailliercryptolib_python_tpu.models import paillier as sch
     from pailliercryptolib_python_tpu.utils.fixtures import fixed_key_ints
 
-    kd = fixed_key_ints(2048, enable_DJN=True)
+    t0 = time.perf_counter()
+    kd = fixed_key_ints(bits, enable_DJN=True)
+    log(f"BM_KeyMaterial/{bits}: {(time.perf_counter() - t0) * 1e3:.0f} ms")
     pub = sch.PublicContext(kd["n"], kd["bits"], True, kd["hs"],
                             kd["randbits"])
     priv = sch.PrivateContext(pub, kd["p"], kd["q"])
-    n = kd["n"]
 
-    # ---- keygen (host-side prime search; reference BM_KeyGen) -----------
     t0 = time.perf_counter()
-    sch.generate_key_ints(1024, True)
-    log(f"BM_KeyGen/1024: {(time.perf_counter() - t0) * 1e6:.0f} us")
-    t0 = time.perf_counter()
-    sch.generate_key_ints(2048, True)
-    log(f"BM_KeyGen/2048: {(time.perf_counter() - t0) * 1e6:.0f} us")
+    _ = pub.comb_table
+    _sync(pub.comb_table)
+    log(f"CombTableBuild/{bits} (w={pub.comb_window}): "
+        f"{(time.perf_counter() - t0) * 1e3:.0f} ms")
 
-    rng = np.random.default_rng(7)
+    def encrypt_device(m_limbs, digits):
+        """The production device program (what pub.encrypt dispatches)."""
+        out = sch._encrypt_djn(m_limbs, digits, pub.comb_table, pub.n_limbs,
+                               pub.ctx, pub.L)
+        out.block_until_ready()
+        return out
 
-    # ---- correctness gate (bit-exact round trip) ------------------------
-    msgs = [int(v) for v in rng.integers(0, 2**60, size=16)]
-    ct = pub.encrypt(msgs, apply_obfuscator=True)
-    got = priv.decrypt_to_ints(ct, 16)
-    assert got == msgs, "round-trip parity FAILED"
-    log("round-trip parity: ok (16x 2048-bit obfuscated encrypt/decrypt)")
-
-    # ---- reference-shape batches (16/64) + production batches -----------
-    results = {}
-    for B in (16, 64, 1024, 4096):
+    all_bs = list(batches) + ([headline_B] if headline_B else [])
+    for B in all_bs:
+        tag = f"{bits}/{B}" if bits != 2048 else f"{B}"
         vals = [int(v) for v in rng.integers(0, 2**60, size=B)]
+
+        t0 = time.perf_counter()
         enc_limbs = pub.encodings_to_device(vals)
         digits = pub.sample_obfuscator_digits(B)
+        _sync(enc_limbs)
+        t_host = time.perf_counter() - t0  # host prep + H2D (incl. relay)
 
-        import jax.numpy as jnp
-        from pailliercryptolib_python_tpu.ops import montgomery as mg
-        from pailliercryptolib_python_tpu.ops.limb import big_mul, normalize
+        t_enc = timeit(lambda: encrypt_device(enc_limbs, digits))
+        results[f"BM_Encrypt/{tag}"] = t_enc
+        log(f"BM_Encrypt/{tag}: {t_enc * 1e6:.0f} us "
+            f"({B / t_enc:.1f} enc/s device-path; host prep+H2D "
+            f"{t_host * 1e3:.0f} ms)")
 
-        L = pub.L
+        ct_dev = encrypt_device(enc_limbs, digits)
+        t_dec = timeit(lambda: priv.decrypt_to_ints(ct_dev, B))
+        results[f"BM_Decrypt/{tag}"] = t_dec
+        log(f"BM_Decrypt/{tag}: {t_dec * 1e6:.0f} us ({B / t_dec:.1f} dec/s)")
 
-        def encrypt_fixed(m_limbs=enc_limbs, digits=digits):
-            mn = big_mul(m_limbs, pub.n_limbs, out_limbs=L)
-            c = normalize(mn.at[0].add(1))
-            c = mg.mont_mul(c, pub.ctx.r2, pub.ctx)
-            out = mg.mont_exp_fixed_base(pub.comb_table, digits, pub.ctx,
-                                         acc0=c)
-            out.block_until_ready()
-            return out
+        if headline_B and B == headline_B:
+            # host-side pipeline cost, measured without the device call:
+            # fixed-point encode + limb pack + OS-entropy digit sampling
+            fvals = rng.random(B) * 1000
+            from pailliercryptolib_python_tpu.fixedpoint import encode_vector
+            t0 = time.perf_counter()
+            encs, _ = encode_vector(fvals, pub.n, pub.n // 3 - 1)
+            m2 = pub.encodings_to_device(encs)
+            d2 = pub.sample_obfuscator_digits(B)
+            _sync(m2)
+            t_hostpipe = time.perf_counter() - t0
+            results["headline_host_s"] = t_hostpipe
+            results["headline_dev_s"] = t_enc
+            log(f"Headline host pipeline (encode+pack+entropy+H2D): "
+                f"{t_hostpipe * 1e3:.0f} ms for B={B}")
+            continue  # headline batch: skip the small-op suite below
 
-        t_enc = timeit(encrypt_fixed)
-        results[f"BM_Encrypt/{B}"] = t_enc
-        log(f"BM_Encrypt/{B}: {t_enc * 1e6:.0f} us "
-            f"({B / t_enc:.1f} enc/s)")
-
-        ct_dev = encrypt_fixed()
-
-        def decrypt_run():
-            return priv.decrypt_to_ints(ct_dev, B)
-
-        t_dec = timeit(decrypt_run)
-        results[f"BM_Decrypt/{B}"] = t_dec
-        log(f"BM_Decrypt/{B}: {t_dec * 1e6:.0f} us ({B / t_dec:.1f} dec/s)")
-
-        ct2 = encrypt_fixed()
+        ct2 = encrypt_device(enc_limbs, digits)
 
         def add_ctct():
             out = pub.add_ct(ct_dev, ct2)
@@ -128,8 +208,9 @@ def main():
             return out
 
         t_add = timeit(add_ctct)
-        results[f"BM_Add_CTCT/{B}"] = t_add
-        log(f"BM_Add_CTCT/{B}: {t_add * 1e6:.0f} us ({B / t_add:.0f} ops/s)")
+        results[f"BM_Add_CTCT/{tag}"] = t_add
+        log(f"BM_Add_CTCT/{tag}: {t_add * 1e6:.0f} us "
+            f"({B / t_add:.0f} ops/s)")
 
         def add_ctpt():
             enc = pub.encrypt_raw(enc_limbs)
@@ -138,8 +219,9 @@ def main():
             return out
 
         t_addp = timeit(add_ctpt)
-        results[f"BM_Add_CTPT/{B}"] = t_addp
-        log(f"BM_Add_CTPT/{B}: {t_addp * 1e6:.0f} us ({B / t_addp:.0f} ops/s)")
+        results[f"BM_Add_CTPT/{tag}"] = t_addp
+        log(f"BM_Add_CTPT/{tag}: {t_addp * 1e6:.0f} us "
+            f"({B / t_addp:.0f} ops/s)")
 
         mul_exps = [int(v) for v in rng.integers(1, 2**53, size=B)]
 
@@ -149,49 +231,165 @@ def main():
             return out
 
         t_mul = timeit(mul_ctpt)
-        results[f"BM_Mul_CTPT/{B}"] = t_mul
-        log(f"BM_Mul_CTPT/{B}: {t_mul * 1e6:.0f} us ({B / t_mul:.0f} ops/s)")
+        results[f"BM_Mul_CTPT/{tag}"] = t_mul
+        log(f"BM_Mul_CTPT/{tag}: {t_mul * 1e6:.0f} us "
+            f"({B / t_mul:.0f} ops/s)")
 
-        # end-to-end encrypt (host encode + OS-entropy digits + device)
+        if mul_neg:
+            # 50% negative plaintexts: the api path exponentiates by
+            # |pt| then inverts flagged columns via the product tree
+            from pailliercryptolib_python_tpu.ops import montgomery as mg
+            flags = np.zeros(B, dtype=bool)
+            flags[::2] = True
+            idx = np.nonzero(flags)[0].astype(np.int32)
+
+            def mul_ctpt_neg():
+                out = pub.mul_pt(ct_dev, mul_exps)
+                sub = pub.gather_batch(out, idx)
+                inv = mg.mont_inv_tree(sub, pub.ctx)
+                out = out.at[:, idx].set(inv[:, :len(idx)])
+                out.block_until_ready()
+                return out
+
+            t_muln = timeit(mul_ctpt_neg)
+            results[f"BM_Mul_CTPT_neg50/{tag}"] = t_muln
+            log(f"BM_Mul_CTPT_neg50/{tag}: {t_muln * 1e6:.0f} us "
+                f"({B / t_muln:.0f} ops/s, "
+                f"{t_muln / t_mul:.2f}x positive mul)")
+
         def encrypt_e2e():
             out = pub.encrypt(vals, apply_obfuscator=True)
             out.block_until_ready()
             return out
 
         t_e2e = timeit(encrypt_e2e)
-        results[f"Encrypt_e2e/{B}"] = t_e2e
-        log(f"Encrypt_e2e/{B}: {t_e2e * 1e6:.0f} us ({B / t_e2e:.1f} enc/s)")
+        results[f"Encrypt_e2e/{tag}"] = t_e2e
+        log(f"Encrypt_e2e/{tag}: {t_e2e * 1e6:.0f} us "
+            f"({B / t_e2e:.1f} enc/s incl. relay)")
 
-    # ---- headline metric: encryptions/s on the device path --------------
-    # NOTE: this dev harness reaches the TPU through a remote relay with a
-    # ~30-50ms constant per host<->device call (measured: trivial jit
-    # dispatch ~30ms), so Encrypt_e2e is relay-bound here; on a locally
-    # attached TPU the e2e number converges to the device-path number
-    # (+~5ms of vectorized host encode per 1024 batch, measured).
-    #
-    # Headline batch: dispatch overhead amortizes with batch (measured
-    # 25.7k enc/s @ 4096 -> 32.9k @ 32768, plateau ~16k); production
-    # aggregation workloads (BASELINE.md: 1M-value federated gradients)
-    # run at >= this batch, so the headline uses B=16384.
+    return pub, priv, kd
+
+
+def federated_1m(pub, priv, kd, results, rng):
+    """BASELINE.md 1M-value federated aggregation, single chip.
+
+    Two parties' 2^20-value encrypted updates are aggregated elementwise
+    (HE add = modmul) and reduced to one encrypted total; the total is
+    decrypted and verified against the plaintext oracle."""
+    import jax.numpy as jnp
+
+    B0, B = 16384, 1 << 20
+    vals_a = [int(v) for v in rng.integers(0, 2**40, size=B0)]
+    vals_b = [int(v) for v in rng.integers(0, 2**40, size=B0)]
+    ct_a0 = pub.encrypt(vals_a, apply_obfuscator=False)
+    ct_b0 = pub.encrypt(vals_b, apply_obfuscator=False)
+    # tile to 1M columns (the aggregation workload is what's measured;
+    # repeating ciphertexts keeps the plaintext oracle computable)
+    reps = B // B0
+    idx = jnp.asarray(np.arange(B, dtype=np.int32) % B0)
+    ct_a = jnp.take(ct_a0, idx, axis=1)
+    ct_b = jnp.take(ct_b0, idx, axis=1)
+    _sync(ct_a)
+    _sync(ct_b)
+
+    from pailliercryptolib_python_tpu.ops import montgomery as mg
+
+    def agg_and_reduce():
+        agg = mg.mont_mul(ct_a, ct_b, pub.ctx)
+        total = pub.tree_reduce(agg, B)
+        total.block_until_ready()
+        return total
+
+    t = timeit(agg_and_reduce, warmup=1, iters=2)
+    results["BM_FederatedAgg_1M"] = t
+    log(f"BM_FederatedAgg_1M: {t * 1e3:.0f} ms "
+        f"({B / t / 1e6:.2f} M values/s aggregate+reduce)")
+
+    total = agg_and_reduce()
+    got = priv.decrypt_to_ints(total, 1)[0]
+    expect = (sum(vals_a) + sum(vals_b)) * reps % kd["n"]
+    assert got == expect, "1M federated aggregation total mismatch"
+    log("1M federated aggregation: total verified")
+
+    # 8-chip weak-scaling projection: per-chip shard of the same job
+    shard = B // 8
+    ct_as, ct_bs = ct_a[:, :shard], ct_b[:, :shard]
+
+    def shard_step():
+        agg = mg.mont_mul(ct_as, ct_bs, pub.ctx)
+        total = pub.tree_reduce(agg, shard)
+        total.block_until_ready()
+        return total
+
+    t_shard = timeit(shard_step, warmup=1, iters=2)
+    # cross-chip cost: all_gather of 8 partials (L x 8 u32 ~ 8 KB over
+    # ICI ~ O(10 us)) + log2(8) single-tile modmul folds; bound it by one
+    # measured single-tile modmul round (~t of BM_Add_CTCT/16) plus 50 us
+    t_comm = results.get("BM_Add_CTCT/16", 5e-4) + 50e-6
+    eff = (results["BM_FederatedAgg_1M"] / 8) / (t_shard + t_comm)
+    results["Scaling_8chip_projected_eff"] = eff
+    log(f"Scaling (8-chip weak-scaling projection): shard({shard}) "
+        f"{t_shard * 1e3:.0f} ms + comm bound {t_comm * 1e3:.1f} ms "
+        f"=> efficiency {eff * 100:.1f}% "
+        f"(single-chip 1M / 8 / projected-8chip-wall)")
+
+
+def main():
+    import jax
+    log(f"devices: {jax.devices()}")
+
+    from pailliercryptolib_python_tpu.models import paillier as sch
+    from pailliercryptolib_python_tpu.api import (
+        PaillierPublicKey, PaillierPrivateKey)
+    from pailliercryptolib_python_tpu.bindings.containers import (
+        ipclPublicKey)
+    from pailliercryptolib_python_tpu.utils.fixtures import fixed_key_ints
+
+    results = {}
+    rng = np.random.default_rng(7)
+
+    # ---- keygen (host-side prime search; reference BM_KeyGen) -----------
+    for kb in (1024, 2048):
+        t0 = time.perf_counter()
+        sch.generate_key_ints(kb, True)
+        log(f"BM_KeyGen/{kb}: {(time.perf_counter() - t0) * 1e6:.0f} us")
+
+    # ---- 2048-bit suite + headline --------------------------------------
+    pub, priv, kd = bench_key(2048, (16, 64, 1024, 4096), results, rng,
+                              headline_B=16384, mul_neg=True)
+
+    # ---- asserted device-side full-op parity gate ------------------------
+    pub_ipcl = ipclPublicKey(None, _context=pub)
+    pk = PaillierPublicKey(pub_ipcl)
+    sk = PaillierPrivateKey(pub_ipcl, kd["p"], kd["q"])
+    t0 = time.perf_counter()
+    op_suite_parity(pk, sk)
+    log(f"op-suite parity: ok (2048-bit full-op suite on device, "
+        f"{time.perf_counter() - t0:.1f} s)")
+
+    # ---- 1M-value federated aggregation + scaling projection -------------
+    federated_1m(pub, priv, kd, results, rng)
+
+    # ---- config ladder: 3072 @ 10k, 4096 smoke ---------------------------
+    if os.environ.get("PAILLIER_BENCH_LADDER", "1") != "0":
+        t0 = time.perf_counter()
+        sch.generate_key_ints(3072, True)
+        log(f"BM_KeyGen/3072: {(time.perf_counter() - t0) * 1e6:.0f} us")
+        bench_key(3072, (10240,), results, rng)
+
+        t0 = time.perf_counter()
+        sch.generate_key_ints(4096, True)
+        log(f"BM_KeyGen/4096: {(time.perf_counter() - t0) * 1e6:.0f} us")
+        bench_key(4096, (256,), results, rng)
+
+    # ---- headline metric --------------------------------------------------
     B = 16384
-    vals = [int(v) for v in rng.integers(0, 2**60, size=B)]
-    enc_limbs = pub.encodings_to_device(vals)
-    digits = pub.sample_obfuscator_digits(B)
-
-    def encrypt_headline():
-        mn = big_mul(enc_limbs, pub.n_limbs, out_limbs=L)
-        c = normalize(mn.at[0].add(1))
-        c = mg.mont_mul(c, pub.ctx.r2, pub.ctx)
-        out = mg.mont_exp_fixed_base(pub.comb_table, digits, pub.ctx, acc0=c)
-        out.block_until_ready()
-        return out
-
-    t_enc = timeit(encrypt_headline)
-    results[f"BM_Encrypt/{B}"] = t_enc
-    log(f"BM_Encrypt/{B}: {t_enc * 1e6:.0f} us ({B / t_enc:.1f} enc/s)")
-    enc_per_s = B / results[f"BM_Encrypt/{B}"]
-    log(f"e2e-through-relay encrypt throughput (B=4096): "
-        f"{4096 / results['Encrypt_e2e/4096']:.1f} enc/s")
+    t_pipeline = results["headline_host_s"] + results["headline_dev_s"]
+    enc_per_s = B / t_pipeline
+    log(f"Headline: {enc_per_s:.1f} enc/s (host pipeline "
+        f"{results['headline_host_s'] * 1e3:.0f} ms + device "
+        f"{results['headline_dev_s'] * 1e3:.0f} ms for B={B}); "
+        f"device-path-only: {B / results['headline_dev_s']:.1f} enc/s")
     print(json.dumps({
         "metric": "paillier_2048_encrypt_throughput",
         "value": round(enc_per_s, 1),

@@ -27,6 +27,7 @@ from .bindings.containers import (
     ipclCipherText,
 )
 from .utils.context import context, hybridControl, hybridMode
+from .utils.config import get_config, set_config
 
 __version__ = "2.0.0"
 
@@ -48,4 +49,6 @@ __all__ = [
     "context",
     "hybridControl",
     "hybridMode",
+    "get_config",
+    "set_config",
 ]

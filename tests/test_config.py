@@ -93,3 +93,13 @@ def test_touch_keeps_hot_keys_resident(restore_config):
     _ = c.comb_table      # evicts b, not a
     assert a._comb is not None
     assert b._comb is None
+
+
+def test_profiling_hooks():
+    from pailliercryptolib_python_tpu.utils import profiling
+    import jax.numpy as jnp
+    sink = []
+    with profiling.timed("op", sink):
+        with profiling.annotate("he-op"):
+            jnp.zeros(4).block_until_ready()
+    assert sink and sink[0][0] == "op" and sink[0][1] >= 0
