@@ -309,7 +309,7 @@ class PaillierEncryptedNumber:
         ctx = self._ctx()
         idx = np.nonzero(flags)[0].astype(np.int32)
         sub = ctx.gather_batch(ct_dev, idx)          # (L, pad(F))
-        inv = mg.mont_inv_tree(sub, ctx.ctx)
+        inv = mg.mont_inv_tree_hostroot(sub, ctx.ctx, ctx.nsquare)
         return ct_dev.at[:, jnp.asarray(idx)].set(inv[:, :len(idx)])
 
     # -- addition / subtraction ---------------------------------------------

@@ -72,9 +72,11 @@ class MontCtx:
     def num_limbs(self) -> int:
         return self.n_limbs.shape[0]
 
-    # Weight VMEM budget: 48*L^2 bytes must fit alongside scratch in
-    # ~16 MB VMEM; L <= 384 covers every modulus up to ~6100 bits.
-    MXU_MAX_LIMBS = 384
+    # Weight VMEM budget: weights (48*L^2 bytes) + scratch + kernel
+    # temporaries must fit 16 MB of VMEM.  L=385 (3072-bit n^2) measured
+    # 19.6 MB scoped — OOM — so the cap sits just above the proven
+    # L=257 (4096-bit modulus) case; larger moduli use the CIOS kernels.
+    MXU_MAX_LIMBS = 260
 
     @classmethod
     def for_modulus(cls, n: int, min_bits: int | None = None,
@@ -446,6 +448,60 @@ def mont_inv(x_mont: jnp.ndarray, ctx: MontCtx) -> jnp.ndarray:
     # v = x^{-1} R^{-1} mod m -> canonical x^{-1} -> Montgomery x^{-1} R.
     inv_plain = mont_mul(v, ctx.r2, ctx)
     return mont_mul(inv_plain, ctx.r2, ctx)
+
+
+@jax.jit
+def _inv_tree_up(x_mont: jnp.ndarray, ctx: MontCtx):
+    """Pairwise Montgomery product tree (up-sweep); returns all levels."""
+    L, B = x_mont.shape
+    levels = [x_mont]
+    cur = x_mont
+    while cur.shape[1] > 1:
+        cur = mont_mul(cur[:, 0::2], cur[:, 1::2], ctx)
+        levels.append(cur)
+    return tuple(levels)
+
+
+@jax.jit
+def _inv_tree_down(levels, inv_root: jnp.ndarray, ctx: MontCtx):
+    """Down-sweep: inv(left) = inv(parent)*right and vice versa."""
+    inv = inv_root
+    for lvl in levels[-2::-1]:
+        L = lvl.shape[0]
+        left, right = lvl[:, 0::2], lvl[:, 1::2]
+        inv_left = mont_mul(inv, right, ctx)
+        inv_right = mont_mul(inv, left, ctx)
+        inv = jnp.stack([inv_left, inv_right], axis=2).reshape(
+            L, lvl.shape[1])
+    return inv
+
+
+def mont_inv_tree_hostroot(x_mont: jnp.ndarray, ctx: MontCtx,
+                           m_int: int) -> jnp.ndarray:
+    """Batched inverse via product tree with the ROOT inverted on host.
+
+    The single root inversion is a 1-element bigint op — CPython's
+    extended Euclid runs it in ~1 ms where the device's fixed-iteration
+    xgcd loop takes ~100+ ms (same reasoning as the host-built comb
+    ladder).  Everything batched stays on device.  Requires every column
+    to be a unit mod m (callers pad with ctx.one).
+    """
+    from .limb import limbs_to_int
+
+    L, B = x_mont.shape
+    P2 = 1 << max(0, (B - 1).bit_length())
+    x = x_mont
+    if P2 != B:
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(ctx.one, (L, P2 - B))], axis=1)
+    levels = _inv_tree_up(x, ctx)
+    # root is the Montgomery rep of the product P: r = P*R (mod m), < 2m
+    r = limbs_to_int(np.asarray(levels[-1][:, 0])) % m_int
+    R = 1 << (LIMB_BITS * L)
+    # rep(P^-1) = P^-1 * R = r^-1 * R^2 (mod m)
+    inv_rep = pow(r, -1, m_int) * (R * R % m_int) % m_int
+    inv0 = jnp.asarray(int_to_limbs(inv_rep, L)[:, None])
+    return _inv_tree_down(levels, inv0, ctx)[:, :B]
 
 
 @jax.jit
