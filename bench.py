@@ -349,6 +349,14 @@ def federated_1m(pub, priv, kd, results, rng):
 
 def main():
     import jax
+    # Persistent compilation cache: the 2048/3072/4096-bit kernel chains
+    # cost 30-120 s each to compile; cached reruns make the whole suite
+    # fit comfortably in a driver timeout.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     log(f"devices: {jax.devices()}")
 
     from pailliercryptolib_python_tpu.models import paillier as sch

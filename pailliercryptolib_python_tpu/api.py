@@ -29,8 +29,10 @@ from __future__ import annotations
 from typing import Callable, Optional, Tuple, Union
 
 import numpy as np
+import jax.numpy as jnp
 
 from .fixedpoint import FixedPointNumber, encode_vector, decode_vector
+from .models import paillier
 from .bindings.containers import (
     BigNumber,
     ipclBigNumber,
@@ -452,45 +454,71 @@ class PaillierEncryptedNumber:
 
         Index maps reproduce the reference generator exactly
         (__matmul_idx_pt, ipcl_python.py:777-808) but as numpy arrays
-        driving ONE device gather + ONE batched modexp + ONE segmented
-        tree-reduce."""
-        i = np.arange(m * n * k)
-        if rhs:
-            idx_self = i % n * k + i // n % k
-            ox, oy = i // (n * k), i % n
-            pt_vals = other[ox, oy] if other.ndim == 2 else other[oy]
-        else:
-            idx_self = i // (n * k) * n + i % n
-            ox, oy = i % n, i // n % k
-            pt_vals = other[ox, oy] if other.ndim == 2 else other[ox]
+        driving batched device gathers + modexps + segmented
+        tree-reduces.  The (m*n*k)-wide column layout is processed in
+        chunks of whole output groups so the device working set stays
+        under config.matmul_chunk_columns ciphertext columns (~1 KB each
+        at 2048-bit) instead of materializing all m*n*k at once."""
+        from .utils import config as _config
 
         ctx = self._ctx()
-        NB = m * n * k
         G = m * k
-        ct_g = ctx.gather_batch(self.__ct.device_array(), idx_self)
-        expos_g = self.__expos[idx_self]
+        nn = self.public_key.n
+        dev_self = self.__ct.device_array()
 
-        encs, pt_expos = encode_vector(pt_vals, self.public_key.n,
+        # Encode the DISTINCT plaintext values once (n*k or m*n of them,
+        # vs m*n*k encode calls on the expanded layout).
+        flat_pt = other.reshape(-1) if other.ndim == 2 else other
+        encs, pt_expos = encode_vector(flat_pt, nn,
                                        self.public_key.max_int)
         for pt in encs:
-            if not 0 <= pt < self.public_key.n:
+            if not 0 <= pt < nn:
                 raise ValueError(f"Scalar out of bounds: {pt}")
-        nn = self.public_key.n
         cond = nn - self.public_key.max_int
-        flags = np.array([pt >= cond for pt in encs], dtype=bool)
-        exps = [int(nn - pt) if f else int(pt)
-                for pt, f in zip(encs, flags)]
+        flags_flat = np.array([pt >= cond for pt in encs], dtype=bool)
+        exps_flat = np.empty(len(encs), dtype=object)
+        exps_flat[:] = [int(nn - pt) if f else int(pt)
+                        for pt, f in zip(encs, flags_flat)]
 
-        temp = ctx.mul_pt(ct_g, exps)
-        if flags.any():
-            temp = self._invert_columns(temp, flags, NB)
-        temp_expo = expos_g + pt_expos
+        g_per = max(1, _config.get_config().matmul_chunk_columns // n)
+        red_parts, tg_parts = [], []
+        for g0 in range(0, G, g_per):
+            g1 = min(G, g0 + g_per)
+            gc = g1 - g0
+            i = np.arange(g0 * n, g1 * n)
+            if rhs:
+                idx_self = i % n * k + i // n % k
+                ox, oy = i // (n * k), i % n
+                pidx = ox * n + oy if other.ndim == 2 else oy
+            else:
+                idx_self = i // (n * k) * n + i % n
+                ox, oy = i % n, i // n % k
+                pidx = ox * k + oy if other.ndim == 2 else ox
 
-        # align each group of n to its max exponent, then reduce
-        tg = temp_expo.reshape(G, n).max(axis=1)
-        diffs = (tg[:, None] - temp_expo.reshape(G, n)).reshape(-1)
-        temp = self._scale_by_pow2(temp, diffs)
-        red = ctx.segment_tree_reduce(temp, G, n)
+            ct_g = ctx.gather_batch(dev_self, idx_self)
+            temp = ctx.mul_pt(ct_g, list(exps_flat[pidx]))
+            flags = flags_flat[pidx]
+            if flags.any():
+                temp = self._invert_columns(temp, flags, len(i))
+            temp_expo = self.__expos[idx_self] + pt_expos[pidx]
+
+            # align each group of n to its max exponent, then reduce
+            tg = temp_expo.reshape(gc, n).max(axis=1)
+            diffs = (tg[:, None] - temp_expo.reshape(gc, n)).reshape(-1)
+            temp = self._scale_by_pow2(temp, diffs)
+            red_parts.append(ctx.segment_tree_reduce(temp, gc, n)[:, :gc])
+            tg_parts.append(tg)
+
+        if len(red_parts) == 1:
+            red = red_parts[0]
+        else:
+            red = jnp.concatenate(red_parts, axis=1)
+        pad = paillier.pad_batch(G)
+        if red.shape[1] < pad:
+            red = jnp.concatenate(
+                [red, jnp.broadcast_to(ctx.ctx.one,
+                                       (ctx.L, pad - red.shape[1]))], axis=1)
+        tg = np.concatenate(tg_parts)
 
         ct = ipclCipherText(self.public_key.pubkey, _dev=red, _length=G)
         return PaillierEncryptedNumber(self.public_key, ct, tg, G)

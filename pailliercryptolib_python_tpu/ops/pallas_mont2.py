@@ -211,9 +211,123 @@ def _mm2_product(a_val, b_val, t_scr, L):
     return _mm2_product_preshift_seg(a_val, b_val, t_scr, L)
 
 
-def _mm2_val(a_val, b_val, wmu, wm, t_scr, L):
-    """One matmul-Montgomery modmul on (L, tb) canonical values < 2m."""
-    T = _mm2_product(a_val, b_val, t_scr, L)
+def sqr_scratch_limbs(L):
+    """Scratch sublanes needed by _mm2_square (>= the product's)."""
+    U = PROD_UNROLL
+    nblk = -(-L // U)
+    return 2 * nblk * U + 2 * U + 2
+
+
+def exp_scratch_limbs(L):
+    """Scratch sublanes for the modexp kernels: _mm2_square's when the
+    squaring specialization is active (L <= PRESHIFT_MAX_L), else the
+    general product's (the squaring path's extra live intermediates blow
+    the 16M scoped-vmem stack limit at L=257 and win nothing there)."""
+    if L > PRESHIFT_MAX_L:
+        return 2 * L + PROD_UNROLL + 2
+    return sqr_scratch_limbs(L)
+
+
+def _mm2_square(a_val, t_scr, L, seg=128):
+    """Schoolbook T = a*a exploiting symmetry: ~55-65% of the general
+    product's multiplies.
+
+    T = 2*P_outer + P_diag, where P_outer covers row-block i against
+    columns j >= (i+1)*U (strictly outside the diagonal block) and
+    P_diag is the full U x U product of each diagonal block (which
+    already counts each within-block symmetric pair twice plus the true
+    diagonal once).  The block loop is Python-unrolled: the per-block
+    column slice a[(i+1)*U:] must have a static start, and shrinking
+    slices are what saves the work (a mask would cost the same as
+    computing).  Doubling is ONE whole-scratch pass between the outer
+    and diagonal accumulations.
+
+    Bound: outer limb sums < L*2^17 < 2^25, doubled < 2^26, diagonal
+    adds < 2^21 => every scratch limb < 2^27, exact in uint32."""
+    U = PROD_UNROLL
+    tb = a_val.shape[-1]
+    nblk = -(-L // U)
+    LU = nblk * U
+    if LU != L:
+        a_val = jnp.concatenate(
+            [a_val, jnp.zeros((LU - L, tb), jnp.uint32)], axis=0)
+    t_scr[...] = jnp.zeros_like(t_scr)
+    z1 = jnp.zeros((1, tb), jnp.uint32)
+
+    def shifted(p, off, total):
+        parts = []
+        if off:
+            parts.append(jnp.zeros((off, tb), jnp.uint32))
+        parts.append(p)
+        tail = total - off - p.shape[0]
+        if tail:
+            parts.append(jnp.zeros((tail, tb), jnp.uint32))
+        return parts[0] if len(parts) == 1 else jnp.concatenate(
+            parts, axis=0)
+
+    # ---- outer triangle: block i rows x columns >= (i+1)*U ------------
+    for i in range(nblk - 1):
+        bo = i * U
+        b_tail = a_val[bo + U:]                        # (Lr, tb), Lr static
+        Lr = LU - bo - U
+        tot = Lr + U
+        # segment the accumulation chains as in _mm2_product_preshift_seg
+        bounds = [(s0, min(tot, s0 + seg)) for s0 in range(0, tot, seg)]
+        lo_segs, hi_segs = [], []
+        for s0, s1 in bounds:
+            first = True
+            for u in range(U):
+                # rows of shifted(b_tail, u) covering [s0, s1)
+                r0, r1 = max(s0 - u, 0), min(s1 - u, Lr)
+                if r0 >= r1:
+                    continue
+                p = a_val[bo + u:bo + u + 1] * b_tail[r0:r1]
+                plo = shifted(p & MASK, (r0 + u) - s0, s1 - s0)
+                phi = shifted(p >> 16, (r0 + u) - s0, s1 - s0)
+                if first:
+                    lo, hi = plo, phi
+                    first = False
+                else:
+                    lo = lo + plo
+                    hi = hi + phi
+            lo_segs.append(lo)
+            hi_segs.append(hi)
+        s_lo = jnp.concatenate(lo_segs, axis=0) if len(lo_segs) > 1 \
+            else lo_segs[0]
+        s_hi = jnp.concatenate(hi_segs, axis=0) if len(hi_segs) > 1 \
+            else hi_segs[0]
+        off = 2 * bo + U
+        win = t_scr[pl.ds(off, tot + 1), :]
+        t_scr[pl.ds(off, tot + 1), :] = (
+            win
+            + jnp.concatenate([s_lo, z1], axis=0)
+            + jnp.concatenate([z1, s_hi], axis=0))
+
+    # ---- double the off-diagonal part ----------------------------------
+    t_scr[...] = t_scr[...] << 1
+
+    # ---- diagonal blocks: full U x U per block (not doubled) -----------
+    for i in range(nblk):
+        bo = i * U
+        ablk = a_val[bo:bo + U]                        # (U, tb)
+        d_lo = jnp.zeros((2 * U, tb), jnp.uint32)
+        d_hi = jnp.zeros((2 * U, tb), jnp.uint32)
+        for u in range(U):
+            p = a_val[bo + u:bo + u + 1] * ablk        # (U, tb)
+            d_lo = d_lo + shifted(p & MASK, u, 2 * U)
+            d_hi = d_hi + shifted(p >> 16, u, 2 * U)
+        win = t_scr[pl.ds(2 * bo, 2 * U + 1), :]
+        t_scr[pl.ds(2 * bo, 2 * U + 1), :] = (
+            win
+            + jnp.concatenate([d_lo, z1], axis=0)
+            + jnp.concatenate([z1, d_hi], axis=0))
+
+    return _norm_val(t_scr[...])[:2 * L]               # canonical
+
+
+def _mm2_reduce(T, wmu, wm, L):
+    """Montgomery reduction of a canonical 2L-limb product T < mR:
+    two int8 nibble matmuls (MXU) + recombine => (T + q*m)/R < 2m."""
     a1 = _nibble_blocks_val(T[:L], 4)                  # (4L, tb) int8
     q_slots = jax.lax.dot_general(
         wmu, a1, (((1,), (0,)), ((), ())),
@@ -226,6 +340,16 @@ def _mm2_val(a_val, b_val, wmu, wm, t_scr, L):
     s = _recombine_val(p_slots, 2 * L) + T
     s = _norm_val(s)                                   # low L limbs == 0
     return s[L:]
+
+
+def _mm2_val(a_val, b_val, wmu, wm, t_scr, L):
+    """One matmul-Montgomery modmul on (L, tb) canonical values < 2m."""
+    return _mm2_reduce(_mm2_product(a_val, b_val, t_scr, L), wmu, wm, L)
+
+
+def _mm2_sqr_val(a_val, wmu, wm, t_scr, L):
+    """One matmul-Montgomery modular squaring on (L, tb) values < 2m."""
+    return _mm2_reduce(_mm2_square(a_val, t_scr, L), wmu, wm, L)
 
 
 # ---------------------------------------------------------------------------
@@ -272,6 +396,34 @@ def mm2_mul_p(a, b, wmu, wm):
     return out[:, :B]
 
 
+def _mm2_sqr_kernel(a_ref, wmu_ref, wm_ref, o_ref, t_scr):
+    L = a_ref.shape[0]
+    o_ref[...] = _mm2_sqr_val(a_ref[...], wmu_ref[...], wm_ref[...],
+                              t_scr, L)
+
+
+@jax.jit
+def mm2_sqr_p(a, wmu, wm):
+    """Matmul-Montgomery squaring: a (L, B) canonical < 2m -> (L, B) < 2m."""
+    L, B = a.shape
+    BP = -(-B // TB) * TB
+    a = _pad_to(a, BP)
+    bs = lambda: pl.BlockSpec((L, TB), lambda j: (0, j),
+                              memory_space=pltpu.VMEM)
+    wspec = lambda s: pl.BlockSpec(s, lambda j: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _mm2_sqr_kernel,
+        out_shape=jax.ShapeDtypeStruct((L, BP), jnp.uint32),
+        grid=(BP // TB,),
+        in_specs=[bs(), wspec(wmu.shape), wspec(wm.shape)],
+        out_specs=bs(),
+        scratch_shapes=[pltpu.VMEM((sqr_scratch_limbs(L), TB), jnp.uint32)],
+        interpret=INTERPRET,
+    )(a, wmu, wm)
+    return out[:, :B]
+
+
 # ---------------------------------------------------------------------------
 # Kernel 2: fixed-window (w=4) modexp over a SHARED modulus.
 # ---------------------------------------------------------------------------
@@ -288,6 +440,16 @@ def _mm2_exp_kernel(win_start_ref, dig_ref, base_ref, wmu_ref, wm_ref,
     def mm(x, y):
         return _mm2_val(x, y, wmu, wm, t_scr, L)
 
+    # Squaring specialization only below PRESHIFT_MAX_L: measured 0.57x
+    # a general modmul at L=130 but 0.97x at L=257, where its extra live
+    # intermediates also blow the 16M scoped-vmem stack limit.
+    if L <= PRESHIFT_MAX_L:
+        def sq(x):
+            return _mm2_sqr_val(x, wmu, wm, t_scr, L)
+    else:
+        def sq(x):
+            return mm(x, x)
+
     entries = [one, base]
     for _ in range(14):
         entries.append(mm(entries[-1], base))
@@ -295,7 +457,7 @@ def _mm2_exp_kernel(win_start_ref, dig_ref, base_ref, wmu_ref, wm_ref,
 
     def wbody(j, acc):
         for _ in range(4):
-            acc = mm(acc, acc)
+            acc = sq(acc)
         dig = dig_ref[pl.ds(j, 1), :]                  # (1, tb)
         sel = jnp.zeros_like(acc)
         for d in range(16):
@@ -333,7 +495,7 @@ def mm2_exp_p(base, digits, wmu, wm, one, win_start=0):
             bs(), wspec(wmu.shape), wspec(wm.shape), bs(),
         ],
         out_specs=bs(),
-        scratch_shapes=[pltpu.VMEM((2 * L + PROD_UNROLL + 2, TB),
+        scratch_shapes=[pltpu.VMEM((exp_scratch_limbs(L), TB),
                                    jnp.uint32)],
     )
     out = pl.pallas_call(
@@ -365,6 +527,13 @@ def _mm2_exp_shared_kernel(dig_ref, base_ref, wmu_ref, wm_ref, one_ref,
     def mm(x, y):
         return _mm2_val(x, y, wmu, wm, t_scr, L)
 
+    if L <= PRESHIFT_MAX_L:                 # see _mm2_exp_kernel note
+        def sq(x):
+            return _mm2_sqr_val(x, wmu, wm, t_scr, L)
+    else:
+        def sq(x):
+            return mm(x, x)
+
     tab_scr[0:L, :] = one
     tab_scr[L:2 * L, :] = base
     cur = base
@@ -374,7 +543,7 @@ def _mm2_exp_shared_kernel(dig_ref, base_ref, wmu_ref, wm_ref, one_ref,
 
     def wbody(j, acc):
         for _ in range(window):
-            acc = mm(acc, acc)
+            acc = sq(acc)
         d = dig_ref[j]
         sel = tab_scr[pl.ds(d * L, L), :]
         return mm(acc, sel)
@@ -404,7 +573,7 @@ def mm2_exp_shared_p(base, digits, wmu, wm, one, window=5):
         in_specs=[bs(), wspec(wmu.shape), wspec(wm.shape), bs()],
         out_specs=bs(),
         scratch_shapes=[
-            pltpu.VMEM((2 * L + PROD_UNROLL + 2, TB), jnp.uint32),
+            pltpu.VMEM((exp_scratch_limbs(L), TB), jnp.uint32),
             pltpu.VMEM(((1 << window) * L, TB), jnp.uint32),
         ],
     )

@@ -44,6 +44,11 @@ class Config:
     comb_hbm_budget_bytes: int = _env_int(
         "PAILLIER_COMB_HBM_BUDGET", 4 * 1024**3)
     exp_window: int = _env_int("PAILLIER_EXP_WINDOW", 4)
+    # matmul working-set bound: max ciphertext columns materialized per
+    # chunk of the (m*n*k)-wide matmul layout (32768 cols ~ 34 MB at
+    # 2048-bit).  The reference never batches this wide (per-element
+    # Python loops, ipcl_python.py:829-880) so it pays time instead.
+    matmul_chunk_columns: int = _env_int("PAILLIER_MATMUL_CHUNK", 1 << 15)
     mesh_hosts: int | None = None
     mesh_chips: int | None = None
 

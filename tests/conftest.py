@@ -11,10 +11,15 @@ the suite on the real device instead.
 
 import os
 
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                      ".jax_cache")
+
 if not os.environ.get("PAILLIER_TPU_TESTS"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     try:
         jax.config.update("jax_num_cpu_devices", 8)
     except Exception:

@@ -170,6 +170,32 @@ def test_imatmul(keys):
     np.testing.assert_allclose(de, x_li @ y_li, atol=1e-7)
 
 
+def test_matmul_chunked(keys):
+    """Chunked matmul (working-set bound) matches the one-shot result,
+    including negative plaintexts and rmatmul orientation."""
+    from pailliercryptolib_python_tpu.utils import config as _config
+
+    pk, sk = keys
+    m, n, k = 5, 4, 3
+    x_li = np.random.rand(m, n)
+    y_li = np.random.rand(n, k) - 0.5
+    en_x = pk.encrypt(x_li.flatten())
+    w_li = np.random.rand(m, n) - 0.5
+    en_y = pk.encrypt(np.random.rand(n * k))
+    old = _config.get_config().matmul_chunk_columns
+    try:
+        # force several chunks: n columns per group, 2 groups per chunk
+        _config.set_config(matmul_chunk_columns=2 * n)
+        de = np.array(sk.decrypt(en_x @ y_li)).reshape([m, k])
+        np.testing.assert_allclose(de, x_li @ y_li, atol=1e-7)
+        de2 = np.array(sk.decrypt(w_li @ en_y)).reshape([m, k])
+        np.testing.assert_allclose(
+            de2, w_li @ np.array(sk.decrypt(en_y)).reshape([n, k]),
+            atol=1e-7)
+    finally:
+        _config.set_config(matmul_chunk_columns=old)
+
+
 def test_broadcast_add(keys):
     pk, sk = keys
     x = np.random.rand(9)

@@ -87,6 +87,23 @@ def test_mm2_exp_shared_p_oracle():
         assert g % m == pow(x, e, m) * R % m
 
 
+@pytest.mark.parametrize("bits", [256, 1040, 3088])
+def test_mm2_sqr_p_oracle(bits):
+    """Squaring kernel vs oracle: covers partial blocks (L=17), the
+    multi-block unrolled triangle, and the segmented large-L path."""
+    m = rng.getrandbits(bits) | (1 << (bits - 1)) | 1
+    L = limbs_for_bits(bits + 2)
+    R = 1 << (LIMB_BITS * L)
+    mctx = mm.MatmulMontCtx(m, L)
+    B = 3
+    xs = [rng.randrange(2 * m) for _ in range(B)]
+    a = jnp.asarray(ints_to_limbs(xs, L))
+    got = limbs_to_ints(np.asarray(pm2.mm2_sqr_p(a, mctx.W_mu, mctx.W_m)))
+    Rinv = pow(R, -1, m)
+    for g, x in zip(got, xs):
+        assert g < 2 * m and g % m == x * x * Rinv % m
+
+
 def test_mm2_mul_p_oracle_large_L():
     """Exercises the segmented pre-shift product path (L > PRESHIFT_MAX_L)."""
     bits = 3088
