@@ -480,6 +480,10 @@ class PaillierEncryptedNumber:
         exps_flat[:] = [int(nn - pt) if f else int(pt)
                         for pt, f in zip(encs, flags_flat)]
 
+        # One reduction group (n columns) is the indivisible unit: when a
+        # single group exceeds matmul_chunk_columns the bound is exceeded
+        # by that one group's width (documented in utils/config.py) — the
+        # chunking never splits a group across segment_tree_reduce calls.
         g_per = max(1, _config.get_config().matmul_chunk_columns // n)
         red_parts, tg_parts = [], []
         for g0 in range(0, G, g_per):

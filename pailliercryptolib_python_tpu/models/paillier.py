@@ -269,6 +269,12 @@ class PublicContext:
         extra = 8 * rbytes - self.randbits
         if extra:
             raw[:, -1] &= (1 << (8 - extra)) - 1
+        if w <= 16:
+            from .. import native
+            digs = native.extract_windows(raw.tobytes(), B, rbytes, w,
+                                          n_win)
+            if digs is not None:   # C ext available: one-pass extraction
+                return digs if as_numpy else jnp.asarray(digs)
         if w == 8:
             digs = np.zeros((n_win, B), dtype=np.uint32)
             take = min(n_win, rbytes)
@@ -397,18 +403,20 @@ class PublicContext:
 
 @partial(jax.jit, static_argnames=("Lh",))
 def _crt_stage_reduce(ct_mont, n2_ctx, sq_ctx, r3_p, r3_q, Lh):
-    """CRT stage 1: mod-n^2 export + wide Montgomery reduction mod p^2/q^2.
+    """CRT stage 1: wide Montgomery reduction of the MONTGOMERY-form
+    mod-n^2 ciphertext straight into the p^2/q^2 domains.
 
-    Returns the 2B-wide Montgomery-form residues [c mod p^2 | c mod q^2]
-    (one modmul by the host-precomputed R^3 turns the REDC output c*R^{-1}
-    directly into c*R)."""
-    ct = mg.from_mont(ct_mont, n2_ctx)             # canonical, < n^2
-    B = ct.shape[1]
-    ct2 = jnp.concatenate([ct, ct], axis=1)        # (L, 2B)
-    w = mg.mont_reduce_wide(ct2, sq_ctx)           # c * R^{-1}, < 2m
+    The mod-n^2 Montgomery exit is never materialized: for input value
+    X = c*R_n2 (< 2n^2 < p^2*R_h), REDC_h gives X*R_h^{-1}; one modmul by
+    the host-folded constant F = R_h^3 * R_n2^{-1} mod p^2 (r3_p/r3_q)
+    lands directly on the Montgomery form c*R_h.  Saves the full-width
+    (L_n2) from_mont modmul + cond_sub the round-2 path paid."""
+    B = ct_mont.shape[1]
+    ct2 = jnp.concatenate([ct_mont, ct_mont], axis=1)   # (L_n2, 2B)
+    w = mg.mont_reduce_wide(ct2, sq_ctx)           # c * R_n2 * R_h^{-1}
     r3 = jnp.concatenate([jnp.broadcast_to(r3_p, (Lh, B)),
                           jnp.broadcast_to(r3_q, (Lh, B))], axis=1)
-    return mg.mont_mul(w, r3, sq_ctx)              # c * R (Montgomery form)
+    return mg.mont_mul(w, r3, sq_ctx)              # c * R_h (Mont form)
 
 
 def _crt_stage_exp_half(base_m, sq_ctx, digits, window):
@@ -571,17 +579,27 @@ class PrivateContext:
         self.n_win_dec = -(-ebits // WINDOW)
         dig = mg.exponent_digits([p - 1, q - 1], self.n_win_dec, WINDOW)
         self.exp_digits_pq = jnp.asarray(dig)  # (n_win, 2)
-        # shared-exponent fast path (TPU): wider window, 1-D digit streams
-        self.dec_window = 5
-        nw5 = -(-ebits // self.dec_window)
-        dig5 = mg.exponent_digits([p - 1, q - 1], nw5, self.dec_window)
-        self.dig_p = jnp.asarray(dig5[:, 0])
-        self.dig_q = jnp.asarray(dig5[:, 1])
+        # shared-exponent fast path (TPU): window chosen by the kernel's
+        # scoped-VMEM plan (table + working set must fit per tile)
+        if self._sq_p.wmu is not None:
+            from ..ops import pallas_mont3 as _pm3
+            self.dec_window, _ = _pm3.shared_exp_plan(Lh)
+        else:
+            self.dec_window = 5
+        nwd = -(-ebits // self.dec_window)
+        digd = mg.exponent_digits([p - 1, q - 1], nwd, self.dec_window)
+        self.dig_p = jnp.asarray(digd[:, 0])
+        self.dig_q = jnp.asarray(digd[:, 1])
 
-        # R^3 mod p^2 / q^2: one modmul turns a wide-REDC output (c*R^{-1})
-        # directly into the Montgomery form c*R.
-        self.r3_p = jnp.asarray(int_to_limbs(pow(Rh, 3, psq), Lh)[:, None])
-        self.r3_q = jnp.asarray(int_to_limbs(pow(Rh, 3, qsq), Lh)[:, None])
+        # Folded stage-1 constant F = R_h^3 * R_n2^{-1} mod p^2 / q^2: one
+        # modmul maps the wide-REDC output of a MONTGOMERY-form mod-n^2
+        # ciphertext (c*R_n2*R_h^{-1}) directly onto c*R_h — the mod-n^2
+        # Montgomery exit is folded away (see _crt_stage_reduce).
+        Rn2 = 1 << (LIMB_BITS * pub.L)
+        f_p = pow(Rh, 3, psq) * pow(Rn2, -1, psq) % psq
+        f_q = pow(Rh, 3, qsq) * pow(Rn2, -1, qsq) % qsq
+        self.r3_p = jnp.asarray(int_to_limbs(f_p, Lh)[:, None])
+        self.r3_q = jnp.asarray(int_to_limbs(f_q, Lh)[:, None])
         # exact-division inverses: p^{-1}, q^{-1} mod 2^(16*Lq)
         self.pinv_R = jnp.asarray(int_to_limbs(pow(p, -1, Rq), Lq)[:, None])
         self.qinv_R = jnp.asarray(int_to_limbs(pow(q, -1, Rq), Lq)[:, None])
@@ -607,6 +625,12 @@ class PrivateContext:
 
     def decrypt_to_ints(self, ct_mont: jnp.ndarray, b: int) -> list:
         """Batched CRT decrypt: Montgomery cts mod n^2 -> plaintext ints.
+        Device program (decrypt_device) + D2H + C-ext limb unpack."""
+        return limbs_to_ints(np.asarray(self.decrypt_device(ct_mont)))[:b]
+
+    def decrypt_device(self, ct_mont: jnp.ndarray) -> jnp.ndarray:
+        """The device-side CRT decrypt: Montgomery cts mod n^2 ->
+        canonical plaintext limbs (Ln, B) still on device.
 
         The mod-p^2 and mod-q^2 exponentiations run FUSED as one batch of
         width 2B using per-element moduli — on TPU one wide batch keeps
@@ -630,8 +654,52 @@ class PrivateContext:
         else:
             u = _crt_stage_exp(base_m, self._sq_ctx(B), self.exp_digits_pq,
                                self.n_win_dec)
+        return _crt_stage_recombine(
+            u, self._pq_ctx(B), self._q_ctx, self.pinv_R, self.qinv_R,
+            self.hpR, self.hqR, self.p_limbs, self.q_limbs, self.pinvqR,
+            self.Lh, self.Lq, self.pub.Ln)
+
+    def profile_stages(self, ct_mont: jnp.ndarray, b: int) -> dict:
+        """Per-stage thunks for the kernel microbench (tools/kbench.py crt).
+
+        Each thunk runs one decrypt stage on the inputs the production
+        path would hand it; callers time them individually."""
+        B = ct_mont.shape[1]
+        base_m = _crt_stage_reduce(ct_mont, self.pub.ctx, self._sq_ctx(B),
+                                   self.r3_p, self.r3_q, self.Lh)
+        base_m.block_until_ready()
+        if self._sq_p.wmu is not None:
+            u_p = _crt_stage_exp_half(base_m[:, :B], self._sq_p,
+                                      self.dig_p, self.dec_window)
+            u_q = _crt_stage_exp_half(base_m[:, B:], self._sq_q,
+                                      self.dig_q, self.dec_window)
+            u = jnp.concatenate([u_p, u_q], axis=1)
+        else:
+            u = _crt_stage_exp(base_m, self._sq_ctx(B), self.exp_digits_pq,
+                               self.n_win_dec)
+        u.block_until_ready()
         m = _crt_stage_recombine(
             u, self._pq_ctx(B), self._q_ctx, self.pinv_R, self.qinv_R,
             self.hpR, self.hqR, self.p_limbs, self.q_limbs, self.pinvqR,
             self.Lh, self.Lq, self.pub.Ln)
-        return limbs_to_ints(np.asarray(m))[:b]
+        m.block_until_ready()
+        stages = {
+            "stage1_reduce": lambda: _crt_stage_reduce(
+                ct_mont, self.pub.ctx, self._sq_ctx(B), self.r3_p,
+                self.r3_q, self.Lh),
+            "stage3_recombine": lambda: _crt_stage_recombine(
+                u, self._pq_ctx(B), self._q_ctx, self.pinv_R, self.qinv_R,
+                self.hpR, self.hqR, self.p_limbs, self.q_limbs,
+                self.pinvqR, self.Lh, self.Lq, self.pub.Ln),
+            "stage4_d2h": lambda: np.asarray(m),
+            "stage5_to_ints": lambda: limbs_to_ints(np.asarray(m))[:b],
+        }
+        if self._sq_p.wmu is not None:
+            stages["stage2_exp_p_half"] = lambda: _crt_stage_exp_half(
+                base_m[:, :B], self._sq_p, self.dig_p, self.dec_window)
+            stages["stage2_exp_q_half"] = lambda: _crt_stage_exp_half(
+                base_m[:, B:], self._sq_q, self.dig_q, self.dec_window)
+        else:
+            stages["stage2_exp"] = lambda: _crt_stage_exp(
+                base_m, self._sq_ctx(B), self.exp_digits_pq, self.n_win_dec)
+        return stages

@@ -36,19 +36,15 @@ def _load():
     global _native
     if _native is not None:
         return _native
+    # rebuild first when sieve.c is newer than the prebuilt .so (cheap
+    # mtime check) so a stale extension is never imported
+    _try_build()
     try:
-        from . import _paillier_native  # pre-built by setup.py
+        from . import _paillier_native
         _native = _paillier_native
         return _native
     except ImportError:
         pass
-    if _try_build() is not None:
-        try:
-            from . import _paillier_native
-            _native = _paillier_native
-            return _native
-        except ImportError:
-            pass
     _native = False
     return _native
 
@@ -74,9 +70,17 @@ def sieve_window(base: int, count: int, primes) -> bytearray:
 
 
 def pack_limbs16(xs, num_limbs: int):
-    """(num_limbs, len(xs)) uint32 limb array from Python ints, C-packed."""
+    """(num_limbs, len(xs)) uint32 limb array from Python ints, C-packed.
+
+    The C fast path serializes each int directly into the limbs-major
+    buffer (_PyLong_AsByteArray) — no intermediate Python bytes."""
     import numpy as np
     mod = _load()
+    if mod and hasattr(mod, "pack_ints16"):
+        if not isinstance(xs, (list, tuple)):
+            xs = list(xs)
+        raw = mod.pack_ints16(xs, num_limbs)
+        return np.frombuffer(raw, dtype=np.uint32).reshape(num_limbs, len(xs))
     nbytes = num_limbs * 2
     buf = b"".join(int(x).to_bytes(nbytes, "little") for x in xs)
     if mod:
@@ -84,3 +88,31 @@ def pack_limbs16(xs, num_limbs: int):
         return np.frombuffer(raw, dtype=np.uint32).reshape(num_limbs, len(xs))
     out = np.frombuffer(buf, dtype="<u2").reshape(len(xs), num_limbs)
     return np.ascontiguousarray(out.T).astype(np.uint32)
+
+
+def unpack_limbs16(arr) -> list:
+    """List of Python ints from a (L, B) canonical uint32 limb array.
+    C fast path (one pass); falls back to the numpy+from_bytes route."""
+    import numpy as np
+    mod = _load()
+    arr = np.ascontiguousarray(np.asarray(arr, dtype=np.uint32))
+    if mod and hasattr(mod, "unpack_ints16"):
+        return mod.unpack_ints16(arr.tobytes(), arr.shape[1], arr.shape[0])
+    rows = np.ascontiguousarray(arr.T).astype("<u2").tobytes()
+    nb = arr.shape[0] * 2
+    return [int.from_bytes(rows[i * nb:(i + 1) * nb], "little")
+            for i in range(arr.shape[1])]
+
+
+def extract_windows(buf: bytes, count: int, rbytes: int, window: int,
+                    n_win: int):
+    """(n_win, count) uint32 digit array: out[w, c] = bits
+    [w*window, (w+1)*window) of row c in a (count, rbytes) byte buffer.
+    Returns None when the C extension is unavailable (callers keep their
+    vectorized numpy fallback)."""
+    import numpy as np
+    mod = _load()
+    if mod and hasattr(mod, "extract_windows"):
+        raw = mod.extract_windows(buf, count, rbytes, window, n_win)
+        return np.frombuffer(raw, dtype=np.uint32).reshape(n_win, count)
+    return None

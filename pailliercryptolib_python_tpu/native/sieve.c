@@ -115,11 +115,169 @@ pack_limbs16(PyObject *self, PyObject *args)
     return out;
 }
 
+/* pack_ints16(seq, limbs) -> bytes
+ *
+ * Serialize a sequence of non-negative Python ints straight into the
+ * limbs-major (limbs, count) uint32 device layout — the C path for
+ * ints_to_limbs, replacing the Python-level to_bytes join.  Ints must
+ * fit limbs*16 bits. */
+static PyObject *
+pack_ints16(PyObject *self, PyObject *args)
+{
+    PyObject *seq_in;
+    Py_ssize_t limbs;
+
+    if (!PyArg_ParseTuple(args, "On", &seq_in, &limbs))
+        return NULL;
+    PyObject *seq = PySequence_Fast(seq_in, "pack_ints16: need a sequence");
+    if (!seq)
+        return NULL;
+    Py_ssize_t count = PySequence_Fast_GET_SIZE(seq);
+    PyObject *out = PyBytes_FromStringAndSize(NULL, count * limbs * 4);
+    if (!out) {
+        Py_DECREF(seq);
+        return NULL;
+    }
+    uint32_t *o = (uint32_t *)PyBytes_AS_STRING(out);
+    uint8_t *row = (uint8_t *)PyMem_Malloc((size_t)limbs * 2);
+    if (!row) {
+        Py_DECREF(seq);
+        Py_DECREF(out);
+        return PyErr_NoMemory();
+    }
+    for (Py_ssize_t c = 0; c < count; c++) {
+        PyObject *item = PySequence_Fast_GET_ITEM(seq, c);
+        if (!PyLong_Check(item)) {
+            PyMem_Free(row);
+            Py_DECREF(seq);
+            Py_DECREF(out);
+            PyErr_SetString(PyExc_TypeError, "pack_ints16: non-int item");
+            return NULL;
+        }
+        if (_PyLong_AsByteArray((PyLongObject *)item, row,
+                                (size_t)limbs * 2, 1, 0
+#if PY_VERSION_HEX >= 0x030D0000
+                                , 1
+#endif
+                                ) < 0) {
+            PyMem_Free(row);
+            Py_DECREF(seq);
+            Py_DECREF(out);
+            return NULL;  /* negative or overflowing value */
+        }
+        for (Py_ssize_t l = 0; l < limbs; l++)
+            o[l * count + c] =
+                (uint32_t)(row[2 * l] | (row[2 * l + 1] << 8));
+    }
+    PyMem_Free(row);
+    Py_DECREF(seq);
+    return out;
+}
+
+/* unpack_ints16(buf, count, limbs) -> list of ints
+ *
+ * Inverse of pack_ints16: limbs-major (limbs, count) uint32 buffer of
+ * canonical 16-bit limbs -> list of Python ints (decrypt host tail). */
+static PyObject *
+unpack_ints16(PyObject *self, PyObject *args)
+{
+    Py_buffer buf;
+    Py_ssize_t count, limbs;
+
+    if (!PyArg_ParseTuple(args, "y*nn", &buf, &count, &limbs))
+        return NULL;
+    if (buf.len < count * limbs * 4) {
+        PyBuffer_Release(&buf);
+        PyErr_SetString(PyExc_ValueError, "unpack_ints16: buffer too small");
+        return NULL;
+    }
+    const uint32_t *src = (const uint32_t *)buf.buf;
+    PyObject *out = PyList_New(count);
+    if (!out) {
+        PyBuffer_Release(&buf);
+        return NULL;
+    }
+    uint8_t *row = (uint8_t *)PyMem_Malloc((size_t)limbs * 2);
+    if (!row) {
+        PyBuffer_Release(&buf);
+        Py_DECREF(out);
+        return PyErr_NoMemory();
+    }
+    for (Py_ssize_t c = 0; c < count; c++) {
+        for (Py_ssize_t l = 0; l < limbs; l++) {
+            uint32_t v = src[l * count + c];
+            row[2 * l] = (uint8_t)(v & 0xFF);
+            row[2 * l + 1] = (uint8_t)((v >> 8) & 0xFF);
+        }
+        PyObject *n = _PyLong_FromByteArray(row, (size_t)limbs * 2, 1, 0);
+        if (!n) {
+            PyMem_Free(row);
+            PyBuffer_Release(&buf);
+            Py_DECREF(out);
+            return NULL;
+        }
+        PyList_SET_ITEM(out, c, n);
+    }
+    PyMem_Free(row);
+    PyBuffer_Release(&buf);
+    return out;
+}
+
+/* extract_windows(buf, count, rbytes, window, n_win) -> bytes
+ *
+ * buf holds `count` rows of `rbytes` little-endian bytes (one random
+ * exponent per row).  Returns the (n_win, count) uint32 limbs-major
+ * buffer with out[w, c] = bits [w*window, (w+1)*window) of row c —
+ * the DJN obfuscator digit extraction (window <= 16). */
+static PyObject *
+extract_windows(PyObject *self, PyObject *args)
+{
+    Py_buffer buf;
+    Py_ssize_t count, rbytes, window, n_win;
+
+    if (!PyArg_ParseTuple(args, "y*nnnn", &buf, &count, &rbytes, &window,
+                          &n_win))
+        return NULL;
+    if (buf.len < count * rbytes || window < 1 || window > 16) {
+        PyBuffer_Release(&buf);
+        PyErr_SetString(PyExc_ValueError, "extract_windows: bad args");
+        return NULL;
+    }
+    PyObject *out = PyBytes_FromStringAndSize(NULL, n_win * count * 4);
+    if (!out) {
+        PyBuffer_Release(&buf);
+        return NULL;
+    }
+    uint32_t *o = (uint32_t *)PyBytes_AS_STRING(out);
+    const uint8_t *src = (const uint8_t *)buf.buf;
+    uint32_t mask = (window == 32) ? 0xFFFFFFFFu : ((1u << window) - 1u);
+    for (Py_ssize_t c = 0; c < count; c++) {
+        const uint8_t *row = src + c * rbytes;
+        for (Py_ssize_t w = 0; w < n_win; w++) {
+            size_t bit = (size_t)w * (size_t)window;
+            size_t byte = bit >> 3;
+            int off = (int)(bit & 7);
+            uint32_t v = 0;
+            for (int k = 0; k < 4 && byte + (size_t)k < (size_t)rbytes; k++)
+                v |= (uint32_t)row[byte + k] << (8 * k);
+            o[(size_t)w * count + c] = (v >> off) & mask;
+        }
+    }
+    PyBuffer_Release(&buf);
+    return out;
+}
+
 static PyMethodDef Methods[] = {
     {"sieve_window", sieve_window, METH_VARARGS,
      "Trial-division sieve over a window of odd candidates."},
     {"pack_limbs16", pack_limbs16, METH_VARARGS,
      "Pack fixed-width little-endian ints into limbs-major uint32."},
+    {"pack_ints16", pack_ints16, METH_VARARGS,
+     "Serialize Python ints straight into limbs-major uint32."},
+    {"unpack_ints16", unpack_ints16, METH_VARARGS,
+     "Limbs-major uint32 canonical limbs -> list of Python ints."},
+    {"extract_windows", extract_windows, METH_VARARGS,
+     "Bit-window digit extraction from row-major byte buffers."},
     {NULL, NULL, 0, NULL},
 };
 

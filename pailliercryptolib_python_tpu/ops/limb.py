@@ -66,13 +66,11 @@ def ints_to_limbs(xs, num_limbs: int) -> np.ndarray:
 
 def limbs_to_ints(arr) -> list:
     """Convert a (L, B) limb array to a list of B Python ints."""
+    from .. import native
     arr = np.asarray(arr)
     if arr.size and arr.max() <= LIMB_MASK:
-        # canonical fast path: one bulk bytes view + C-speed from_bytes
-        rows = np.ascontiguousarray(arr.T).astype("<u2").tobytes()
-        nb = arr.shape[0] * 2
-        return [int.from_bytes(rows[i * nb:(i + 1) * nb], "little")
-                for i in range(arr.shape[1])]
+        # canonical fast path: single C pass over the limbs-major buffer
+        return native.unpack_limbs16(arr)
     a16 = arr.astype(np.uint64)
     return [limbs_to_int(a16[:, b]) for b in range(arr.shape[1])]
 

@@ -54,15 +54,18 @@ class MontCtx:
     n0inv: jnp.ndarray     # (1,) or (B,): -n^{-1} mod 2^16
     r2: jnp.ndarray        # R^2 mod n  (to enter the Montgomery domain)
     one: jnp.ndarray       # R mod n    (Montgomery representation of 1)
-    # optional MXU path (shared modulus only): int8 Toeplitz weights for
-    # the matmul-Montgomery kernels (ops/matmul_mont.py) — wmu (4L, 4L)
-    # for q = T*mu mod R, wm (8L, 4L) for q*m.
+    # optional MXU path (shared modulus only): signed-byte Toeplitz
+    # weights for the matmul-Montgomery kernels (ops/pallas_mont3.py) —
+    # wmu (2L, 2L) for q = T*mu mod R, wm (4L, 2L) for q*m, plus the
+    # folded byte-centering/bias constants off1 (L, 1) and off2 (2L, 1).
     wmu: jnp.ndarray | None = None
     wm: jnp.ndarray | None = None
+    off1: jnp.ndarray | None = None
+    off2: jnp.ndarray | None = None
 
     def tree_flatten(self):
         return (self.n_limbs, self.n0inv, self.r2, self.one,
-                self.wmu, self.wm), None
+                self.wmu, self.wm, self.off1, self.off2), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -72,11 +75,11 @@ class MontCtx:
     def num_limbs(self) -> int:
         return self.n_limbs.shape[0]
 
-    # Weight VMEM budget: weights (48*L^2 bytes) + scratch + kernel
-    # temporaries must fit 16 MB of VMEM.  L=385 (3072-bit n^2) measured
-    # 19.6 MB scoped — OOM — so the cap sits just above the proven
-    # L=257 (4096-bit modulus) case; larger moduli use the CIOS kernels.
-    MXU_MAX_LIMBS = 260
+    # Weight VMEM budget: the v3 signed-byte weights cost 12*L^2 bytes
+    # (3.2 MB at L=513) and the kernels choose their batch-tile width by
+    # L (pallas_mont3.tb_for), so 4096-bit moduli (n^2 -> L=513) fit.
+    # The v2 nibble weights (48*L^2) were the round-2 L>260 cliff.
+    MXU_MAX_LIMBS = 520
 
     @classmethod
     def for_modulus(cls, n: int, min_bits: int | None = None,
@@ -95,18 +98,16 @@ class MontCtx:
         one = R % n
         if mxu is None:
             mxu = _on_tpu() and 16 <= L <= cls.MXU_MAX_LIMBS
-        wmu = wm = None
+        wmu = wm = off1 = off2 = None
         if mxu:
-            from . import matmul_mont as _mm
-            mu = (-pow(n, -1, R)) % R
-            wmu = jnp.asarray(_mm.const_mult_weights(mu, L, 4, L))
-            wm = jnp.asarray(_mm.const_mult_weights(n, L, 4, 2 * L))
+            from . import pallas_mont3 as _pm3
+            wmu, wm, off1, off2 = _pm3.byte_weights(n, L)
         return cls(
             n_limbs=jnp.asarray(int_to_limbs(n, L)[:, None]),
             n0inv=jnp.asarray(np.array([n0inv], dtype=np.uint32)),
             r2=jnp.asarray(int_to_limbs(r2, L)[:, None]),
             one=jnp.asarray(int_to_limbs(one, L)[:, None]),
-            wmu=wmu, wm=wm,
+            wmu=wmu, wm=wm, off1=off1, off2=off2,
         )
 
     @classmethod
@@ -161,8 +162,8 @@ def mont_mul(a: jnp.ndarray, b: jnp.ndarray, ctx: MontCtx) -> jnp.ndarray:
     """
     if _on_tpu():
         if ctx.wmu is not None:
-            from . import pallas_mont2 as pk2
-            return pk2.mm2_mul_p(a, b, ctx.wmu, ctx.wm)
+            from . import pallas_mont3 as pk3
+            return pk3.mm3_mul_p(a, b, ctx.wmu, ctx.wm, ctx.off1, ctx.off2)
         from . import pallas_mont as pk
         # broadcasting/padding happens inside the jitted kernel wrapper —
         # zero eager device ops per call (dispatch latency through the
@@ -283,9 +284,10 @@ def mont_exp(base: jnp.ndarray, digits: jnp.ndarray, ctx: MontCtx,
             win_start = 0
         if isinstance(digits, np.ndarray):
             digits = jnp.asarray(digits.astype(np.uint32))
-        if ctx.wmu is not None:
-            from . import pallas_mont2 as pk2
-            return pk2.mm2_exp_p(base, digits, ctx.wmu, ctx.wm, ctx.one,
+        from . import pallas_mont3 as pk3
+        if ctx.wmu is not None and base.shape[0] <= pk3.EXP_MAX_LIMBS:
+            return pk3.mm3_exp_p(base, digits, ctx.wmu, ctx.wm, ctx.off1,
+                                 ctx.off2, ctx.one,
                                  win_start=int(win_start))
         from . import pallas_mont as pk
         return pk.mont_exp_p(base, digits, ctx.n_limbs, ctx.n0inv, ctx.one,
@@ -338,11 +340,12 @@ def mont_exp_shared(base: jnp.ndarray, digits: jnp.ndarray, ctx: MontCtx,
     On TPU with a matmul-Montgomery context, the exponent digits ride
     scalar prefetch and table selection is one dynamic VMEM read — the
     CRT-decrypt fast path."""
-    if _on_tpu() and ctx.wmu is not None and window in (4, 5, 6) \
+    if _on_tpu() and ctx.wmu is not None and window in (3, 4, 5, 6) \
             and win_start == 0:
-        from . import pallas_mont2 as pk2
-        return pk2.mm2_exp_shared_p(base, digits, ctx.wmu, ctx.wm,
-                                    ctx.one, window=window)
+        from . import pallas_mont3 as pk3
+        return pk3.mm3_exp_shared_p(base, digits, ctx.wmu, ctx.wm,
+                                    ctx.off1, ctx.off2, ctx.one,
+                                    window=window)
     if _on_tpu() and window == 4:
         return mont_exp(base, digits[:, None], ctx, window=4,
                         win_start=win_start)

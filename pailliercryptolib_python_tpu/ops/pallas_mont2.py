@@ -242,8 +242,10 @@ def _mm2_square(a_val, t_scr, L, seg=128):
     computing).  Doubling is ONE whole-scratch pass between the outer
     and diagonal accumulations.
 
-    Bound: outer limb sums < L*2^17 < 2^25, doubled < 2^26, diagonal
-    adds < 2^21 => every scratch limb < 2^27, exact in uint32."""
+    Bound: each outer scratch limb accumulates <= L products of 16-bit
+    limbs split lo/hi (< 2^17 each), so sums < L*2^17 + 2^17; doubling
+    and the diagonal adds contribute < 2^22 more — exact in uint32 for
+    any practical L (safe to L ~ 2^13)."""
     U = PROD_UNROLL
     tb = a_val.shape[-1]
     nblk = -(-L // U)
@@ -275,21 +277,19 @@ def _mm2_square(a_val, t_scr, L, seg=128):
         bounds = [(s0, min(tot, s0 + seg)) for s0 in range(0, tot, seg)]
         lo_segs, hi_segs = [], []
         for s0, s1 in bounds:
-            first = True
+            # zero-init per segment: a segment with no contributing
+            # u-terms (possible only if seg were not a multiple of U)
+            # must not inherit the previous segment's partials
+            lo = jnp.zeros((s1 - s0, tb), jnp.uint32)
+            hi = jnp.zeros((s1 - s0, tb), jnp.uint32)
             for u in range(U):
                 # rows of shifted(b_tail, u) covering [s0, s1)
                 r0, r1 = max(s0 - u, 0), min(s1 - u, Lr)
                 if r0 >= r1:
                     continue
                 p = a_val[bo + u:bo + u + 1] * b_tail[r0:r1]
-                plo = shifted(p & MASK, (r0 + u) - s0, s1 - s0)
-                phi = shifted(p >> 16, (r0 + u) - s0, s1 - s0)
-                if first:
-                    lo, hi = plo, phi
-                    first = False
-                else:
-                    lo = lo + plo
-                    hi = hi + phi
+                lo = lo + shifted(p & MASK, (r0 + u) - s0, s1 - s0)
+                hi = hi + shifted(p >> 16, (r0 + u) - s0, s1 - s0)
             lo_segs.append(lo)
             hi_segs.append(hi)
         s_lo = jnp.concatenate(lo_segs, axis=0) if len(lo_segs) > 1 \

@@ -57,8 +57,7 @@ def initialize(coordinator_address: str | None = None,
     global _initialized
     import jax
 
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return jax.process_count() > 1
 
     if coordinator_address is None:
@@ -67,16 +66,26 @@ def initialize(coordinator_address: str | None = None,
             # No launch contract: single-process run. (On TPU pods one
             # could call jax.distributed.initialize() with no args, but
             # doing that implicitly would hang non-pod environments
-            # waiting for a coordinator.)
+            # waiting for a coordinator.)  NOTE: do not touch
+            # jax.process_count() before this decision — any backend
+            # probe forecloses jax.distributed.initialize for good.
             return False
         coordinator_address = info["coordinator_address"]
         num_processes = info["num_processes"]
         process_id = info["process_id"]
 
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id)
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+    except RuntimeError:
+        # Backend already initialized: either a prior initialize (fine —
+        # report the live process count) or a too-late call (surface it).
+        if jax.process_count() > 1:
+            _initialized = True
+            return True
+        raise
     _initialized = True
     return True
 

@@ -46,8 +46,11 @@ class Config:
     exp_window: int = _env_int("PAILLIER_EXP_WINDOW", 4)
     # matmul working-set bound: max ciphertext columns materialized per
     # chunk of the (m*n*k)-wide matmul layout (32768 cols ~ 34 MB at
-    # 2048-bit).  The reference never batches this wide (per-element
-    # Python loops, ipcl_python.py:829-880) so it pays time instead.
+    # 2048-bit).  Soft bound: one reduction group (n columns) is the
+    # indivisible unit, so when n alone exceeds this value a chunk still
+    # materializes the full n columns of that one group.  The reference
+    # never batches this wide (per-element Python loops,
+    # ipcl_python.py:829-880) so it pays time instead.
     matmul_chunk_columns: int = _env_int("PAILLIER_MATMUL_CHUNK", 1 << 15)
     mesh_hosts: int | None = None
     mesh_chips: int | None = None

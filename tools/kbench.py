@@ -1,24 +1,28 @@
 #!/usr/bin/env python3
-"""Kernel experiments: minimal deltas from the production (v0) CIOS
-formulation, which Mosaic compiles well (55 us/tile-modmul at L=257).
+"""Parameterized TPU kernel microbench — the single measurement harness.
 
-Round-1 findings (from the two earlier generations of this file, now
-consolidated here):
-  * v0 CIOS (rotate-operand, concat-padded adds) compiles to
-    ~55 us per (257, 128)-tile modmul — the kernel is VMEM-pass-bound
-    (~5-6 full (L, TB) array passes per CIOS iteration).
-  * fori_loop unroll=2 and reading accumulator rows from refs via pl.ds
-    (instead of the rotate copy) were within noise of v0.
-  * Wider batch tiles (L, 256)+ roughly double wall time per element —
-    VMEM pressure in the deep loop outweighs per-step amortization.
+Usage:
+    python tools/kbench.py mul       [--L 257] [--B 1024] [--variants ...]
+    python tools/kbench.py sqr       [--L 130] [--B 1024]
+    python tools/kbench.py exp       [--L 257] [--B 2048] [--nwin 256]
+    python tools/kbench.py expshared [--L 130] [--B 16384] [--ebits 1024]
+                                     [--window 5]
+    python tools/kbench.py crt       [--bits 2048] [--B 16384]
 
-chain_C    : v0 body, but accumulator rows read from o_ref via pl.ds
-             (drops the per-iteration (L,TB) rotate copy).
-chain_U2   : v0 verbatim with fori_loop(unroll=2).
-exp_C      : exp kernel where each modmul writes the multiplicand into a
-             VMEM scratch once and reads rows via pl.ds (drops rotate).
+Consolidates the round-1/2 kbench generations (kbench, kbench_mm2,
+kbench_dot, kbench_sqr).  Their measured conclusions, preserved:
+  * v1 CIOS (rotate-operand, concat-padded adds): ~55 us/(257,128)-tile
+    modmul — VMEM-pass bound (~5-6 (L,TB) passes per iteration); unroll,
+    ref-read and wider-tile variants were noise or worse.
+  * v2 matmul-Montgomery: product phase (VPU schoolbook) dominates; the
+    int8 nibble dots are a small fraction of tile time.
+  * squaring specialization: 0.57x a general modmul at L=130, ~0.97x at
+    L=257 (VMEM blowup) — hence PRESHIFT_MAX_L gating in pallas_mont2.
+Variant 'v3' is the signed-byte Toeplitz path (halved matmul dims).
 """
 
+import argparse
+import os
 import sys
 import time
 
@@ -26,190 +30,18 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from pailliercryptolib_python_tpu.ops import pallas_mont as pm  # noqa: E402
+from pailliercryptolib_python_tpu.ops import pallas_mont2 as pm2  # noqa: E402
+from pailliercryptolib_python_tpu.ops import matmul_mont as mm  # noqa: E402
+from pailliercryptolib_python_tpu.ops import montgomery as mg  # noqa: E402
 from pailliercryptolib_python_tpu.ops.limb import (  # noqa: E402
-    int_to_limbs, limbs_to_ints)
-
-MASK = 0xFFFF
+    int_to_limbs, ints_to_limbs, limbs_to_ints)
 
 
-def mm_rows_from_ref(a_ref, row0, b, n, n0, L):
-    """v0 CIOS body, `a` rows read from a_ref[row0 + i] (no rotate)."""
-    tb = b.shape[-1]
-    z1 = jnp.zeros((1, tb), jnp.uint32)
-    z2 = jnp.zeros((2, tb), jnp.uint32)
-
-    def body(i, t):
-        ai = a_ref[pl.ds(row0 + i, 1), :]
-        p = ai * b
-        t = (t
-             + jnp.concatenate([p & MASK, z2], axis=0)
-             + jnp.concatenate([z1, p >> 16, z1], axis=0))
-        m = ((t[0:1] & MASK) * n0) & MASK
-        q = m * n
-        t = (t
-             + jnp.concatenate([q & MASK, z2], axis=0)
-             + jnp.concatenate([z1, q >> 16, z1], axis=0))
-        c0 = t[0:1] >> 16
-        t = jnp.concatenate([t[1:2] + c0, t[2:], z1], axis=0)
-        return t
-
-    t = lax.fori_loop(0, L, body, jnp.zeros((L + 2, tb), jnp.uint32),
-                      unroll=False)
-    return pm._norm_val(t)[:L]
-
-
-def mm_v0_unroll(a, b, n, n0, L, unroll):
-    tb = a.shape[-1]
-    z1 = jnp.zeros((1, tb), jnp.uint32)
-    z2 = jnp.zeros((2, tb), jnp.uint32)
-
-    def body(_, carry):
-        t, ar = carry
-        ai = ar[0:1]
-        p = ai * b
-        t = (t
-             + jnp.concatenate([p & MASK, z2], axis=0)
-             + jnp.concatenate([z1, p >> 16, z1], axis=0))
-        m = ((t[0:1] & MASK) * n0) & MASK
-        q = m * n
-        t = (t
-             + jnp.concatenate([q & MASK, z2], axis=0)
-             + jnp.concatenate([z1, q >> 16, z1], axis=0))
-        c0 = t[0:1] >> 16
-        t = jnp.concatenate([t[1:2] + c0, t[2:], z1], axis=0)
-        ar = jnp.concatenate([ar[1:], ar[0:1]], axis=0)
-        return t, ar
-
-    t, _ = lax.fori_loop(0, L, body,
-                         (jnp.zeros((L + 2, tb), jnp.uint32), a),
-                         unroll=unroll)
-    return pm._norm_val(t)[:L]
-
-
-# ------------------------------------------------------------ chain kernels
-def chain_kernel_C(f_ref, a0_ref, n_ref, n0_ref, o_ref):
-    L = a0_ref.shape[0]
-    w = pl.program_id(1)
-
-    @pl.when(w == 0)
-    def _():
-        o_ref[...] = a0_ref[...]
-
-    o_ref[...] = mm_rows_from_ref(o_ref, 0, f_ref[0], n_ref[...],
-                                  n0_ref[0:1, :], L)
-
-
-def make_chain_U(unroll):
-    def kernel(f_ref, a0_ref, n_ref, n0_ref, o_ref):
-        L = a0_ref.shape[0]
-        w = pl.program_id(1)
-
-        @pl.when(w == 0)
-        def _():
-            o_ref[...] = a0_ref[...]
-
-        o_ref[...] = mm_v0_unroll(o_ref[...], f_ref[0], n_ref[...],
-                                  n0_ref[0:1, :], L, unroll)
-
-    return kernel
-
-
-def make_chain_call(kernel):
-    def call(factors, acc0, n, n0):
-        n_win, L, B = factors.shape
-        TB = 128
-        n0r = jnp.broadcast_to(jnp.asarray(n0).reshape(1, -1),
-                               (1, B)).astype(jnp.uint32)
-        bs = lambda: pl.BlockSpec((L, TB), lambda j, w: (0, j),
-                                  memory_space=pltpu.VMEM)
-        return pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((L, B), jnp.uint32),
-            grid=(B // TB, n_win),
-            in_specs=[
-                pl.BlockSpec((1, L, TB), lambda j, w: (w, 0, j),
-                             memory_space=pltpu.VMEM),
-                bs(), bs(),
-                pl.BlockSpec((1, TB), lambda j, w: (0, j),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=bs(),
-        )(factors, acc0, jnp.broadcast_to(n, (L, B)), n0r)
-
-    return call
-
-
-# -------------------------------------------------------------- exp kernels
-def exp_kernel_C(ws_ref, dig_ref, base_ref, n_ref, n0_ref, one_ref, o_ref,
-                 a_scr):
-    L = base_ref.shape[0]
-    n = n_ref[...]
-    n0 = n0_ref[0:1, :]
-    base = base_ref[...]
-    one = one_ref[...]
-    n_win = dig_ref.shape[0]
-
-    def mm(a_val, b_val):
-        a_scr[...] = a_val
-        return mm_rows_from_ref(a_scr, 0, b_val, n, n0, L)
-
-    entries = [one, base]
-    for _ in range(14):
-        entries.append(mm(entries[-1], base))
-    table = jnp.stack(entries, axis=0)
-
-    def wbody(j, acc):
-        for _ in range(4):
-            acc = mm(acc, acc)
-        dig = dig_ref[pl.ds(j, 1), :]
-        sel = jnp.zeros_like(acc)
-        for d in range(16):
-            sel = sel + jnp.where(dig == d, table[d], 0)
-        return mm(acc, sel)
-
-    o_ref[...] = lax.fori_loop(ws_ref[0], n_win, wbody, one)
-
-
-def make_exp_call(kernel, scratch=True):
-    def call(base, digits, n, n0, one):
-        L, B = base.shape
-        n_win = digits.shape[0]
-        TB = 128
-        n0r = jnp.broadcast_to(jnp.asarray(n0).reshape(1, -1),
-                               (1, B)).astype(jnp.uint32)
-        ws = jnp.asarray([0], dtype=jnp.int32)
-        bs = lambda: pl.BlockSpec((L, TB), lambda j, ws: (0, j),
-                                  memory_space=pltpu.VMEM)
-        scr = [pltpu.VMEM((L, TB), jnp.uint32)] if scratch else []
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(B // TB,),
-            in_specs=[
-                pl.BlockSpec((n_win, TB), lambda j, ws: (0, j),
-                             memory_space=pltpu.VMEM),
-                bs(), bs(),
-                pl.BlockSpec((1, TB), lambda j, ws: (0, j),
-                             memory_space=pltpu.VMEM),
-                bs(),
-            ],
-            out_specs=bs(),
-            scratch_shapes=scr,
-        )
-        return pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((L, B), jnp.uint32),
-            grid_spec=grid_spec,
-        )(ws, digits, base, jnp.broadcast_to(n, (L, B)), n0r, one)
-
-    return call
-
-
-def timeit(fn, iters=3):
+def timeit(fn, iters=5):
     out = fn()
     np.asarray(out[:1, :8])
     t0 = time.perf_counter()
@@ -219,102 +51,252 @@ def timeit(fn, iters=3):
     return (time.perf_counter() - t0) / iters
 
 
-def main():
-    which = sys.argv[1:] or ["chain", "exp"]
-    print("devices:", jax.devices(), file=sys.stderr)
-    rng = np.random.default_rng(1)
+def rand_modulus(rng, L):
+    """Odd modulus with 4m < 2^(16L) (Walter slack)."""
+    bits = 16 * L - 3
+    m = int.from_bytes(rng.bytes(bits // 8 + 1), "little")
+    m = (m | (1 << (bits - 1)) | 1) & ((1 << bits) - 1)
+    return m
 
-    if "chain" in which or "chainU" in which:
-        L, B, n_win = 257, 1024, 86
-        nsq = int.from_bytes(rng.bytes(511), "little") | (1 << 4087) | 1
-        R = 1 << (16 * L)
-        assert 4 * nsq < R
-        n0 = (-pow(nsq, -1, 1 << 16)) % (1 << 16)
-        n = jnp.asarray(int_to_limbs(nsq, L)[:, None])
-        facs = np.empty((n_win, L, B), dtype=np.uint32)
-        fints = [[int.from_bytes(rng.bytes(500), "little") % nsq
-                  for _ in range(B)] for _ in range(n_win)]
-        for w in range(n_win):
-            for j in range(B):
-                facs[w, :, j] = int_to_limbs(fints[w][j], L)
-        facs = jnp.asarray(facs)
-        a0ints = [int.from_bytes(rng.bytes(500), "little") % nsq
-                  for _ in range(B)]
-        a0 = jnp.asarray(np.stack([int_to_limbs(v, L) for v in a0ints], 1))
-        n0a = np.uint32(n0) * np.ones((B,), np.uint32)
 
-        Rinv = pow(R, -1, nsq)
+def rand_elems(rng, m, B):
+    nb = (m.bit_length() + 7) // 8 + 8
+    return [int.from_bytes(rng.bytes(nb), "little") % m for _ in range(B)]
 
-        def oracle(j):
-            acc = a0ints[j]
-            for w in range(n_win):
-                acc = acc * fints[w][j] * Rinv % nsq
+
+def report(name, ok, dt, tiles, nmod, extra=""):
+    per = dt / max(1, nmod) / max(1, tiles) * 1e6
+    print(f"{name}: ok={ok}  {dt * 1e3:.2f} ms "
+          f"({per:.2f} us/tile-modmul{extra})", flush=True)
+
+
+def run_variants(variants, oracle_fn, tiles, nmod, iters=5):
+    for name, fn in variants.items():
+        try:
+            got = limbs_to_ints(np.asarray(fn()))
+            ok = oracle_fn(got)
+            dt = timeit(fn, iters=iters)
+            report(name, ok, dt, tiles, nmod)
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:400]}",
+                  flush=True)
+
+
+def cmd_mul(args, rng):
+    L, B, K = args.L, args.B, args.chain
+    m = rand_modulus(rng, L)
+    R = 1 << (16 * L)
+    Rinv = pow(R, -1, m)
+    ctx = mg.MontCtx.for_modulus(m, min_bits=16 * L - 2, mxu=False)
+    xs, ys = rand_elems(rng, m, B), rand_elems(rng, m, B)
+    a = jnp.asarray(ints_to_limbs(xs, L))
+    b = jnp.asarray(ints_to_limbs(ys, L))
+
+    def oracle(got):
+        def ref(x, y):
+            acc = x
+            for _ in range(K):
+                acc = acc * y * Rinv % m
             return acc
+        return all(g % m == ref(x, y)
+                   for g, x, y in zip(got[:4], xs, ys))
 
-        variants = {}
-        if "chain" in which:
-            variants["chain_prod"] = lambda: pm.mont_chain_p(
-                facs, a0, n, jnp.asarray(n0a))
-            variants["chain_C"] = lambda: jax.jit(
-                make_chain_call(chain_kernel_C))(facs, a0, n, n0a)
-        if "chainU" in which:
-            variants["chain_U2"] = lambda: jax.jit(
-                make_chain_call(make_chain_U(2)))(facs, a0, n, n0a)
-        for name, fn in variants.items():
-            try:
-                out = np.asarray(fn())
-                got = limbs_to_ints(out)[:2]
-                ok = all(g % nsq == oracle(j) for j, g in enumerate(got))
-                dt = timeit(fn)
-                per = dt / (n_win * (B // 128))
-                print(f"{name}: ok={ok}  {dt * 1e3:.1f} ms "
-                      f"({per * 1e6:.1f} us/tile-modmul, "
-                      f"{B / dt:.0f} enc-chains/s)", flush=True)
-            except Exception as e:
-                print(f"{name}: FAILED {type(e).__name__}: {str(e)[:300]}",
-                      flush=True)
+    variants = {}
+    if "v1" in args.variants:
+        @jax.jit
+        def chain_v1(a, b):
+            return lax.fori_loop(
+                0, K, lambda i, acc: pm.mont_mul_p(acc, b, ctx.n_limbs,
+                                                   ctx.n0inv), a)
+        variants["mul_v1_cios"] = lambda: chain_v1(a, b)
+    if "v2" in args.variants:
+        mctx = mm.MatmulMontCtx(m, L)
 
-    if "exp" in which:
-        L, B, n_win = 129, 2048, 256
-        mod = int.from_bytes(rng.bytes(255), "little") | (1 << 2039) | 1
-        R = 1 << (16 * L)
-        assert 4 * mod < R
-        n0 = (-pow(mod, -1, 1 << 16)) % (1 << 16)
-        n = jnp.asarray(int_to_limbs(mod, L)[:, None])
-        one = jnp.asarray(int_to_limbs(R % mod, L)[:, None])
-        baseints = [int.from_bytes(rng.bytes(250), "little") % mod
-                    for _ in range(B)]
-        base = jnp.asarray(np.stack([int_to_limbs(v, L) for v in baseints], 1))
-        digs = rng.integers(0, 16, size=(n_win, B)).astype(np.uint32)
-        digs_j = jnp.asarray(digs)
-        n0a = np.uint32(n0) * np.ones((B,), np.uint32)
-        onef = jnp.broadcast_to(one, (L, B))
+        @jax.jit
+        def chain_v2(a, b):
+            return lax.fori_loop(
+                0, K, lambda i, acc: pm2.mm2_mul_p(acc, b, mctx.W_mu,
+                                                   mctx.W_m), a)
+        variants["mul_v2_mm"] = lambda: chain_v2(a, b)
+    if "v3" in args.variants:
+        from pailliercryptolib_python_tpu.ops import pallas_mont3 as pm3
+        w3 = pm3.byte_weights(m, L)
 
-        def oracle(j):
+        @jax.jit
+        def chain_v3(a, b):
+            return lax.fori_loop(
+                0, K, lambda i, acc: pm3.mm3_mul_p(acc, b, *w3,
+                                                   tb=args.tb), a)
+        variants[f"mul_v3_byte_tb{args.tb or pm3.tb_for(L)}"] = \
+            lambda: chain_v3(a, b)
+    run_variants(variants, oracle, B // 128, K)
+
+
+def cmd_sqr(args, rng):
+    L, B, K = args.L, args.B, args.chain
+    m = rand_modulus(rng, L)
+    R = 1 << (16 * L)
+    Rinv = pow(R, -1, m)
+    xs = rand_elems(rng, m, B)
+    a = jnp.asarray(ints_to_limbs(xs, L))
+
+    def oracle(got):
+        def ref(x):
+            acc = x
+            for _ in range(K):
+                acc = acc * acc * Rinv % m
+            return acc
+        return all(g % m == ref(x) for g, x in zip(got[:4], xs))
+
+    variants = {}
+    if "v2" in args.variants or "v3" in args.variants:
+        mctx = mm.MatmulMontCtx(m, L)
+    if "v2" in args.variants:
+        @jax.jit
+        def chain_mul(a):
+            return lax.fori_loop(
+                0, K, lambda i, acc: pm2.mm2_mul_p(acc, acc, mctx.W_mu,
+                                                   mctx.W_m), a)
+
+        @jax.jit
+        def chain_sqr(a):
+            return lax.fori_loop(
+                0, K, lambda i, acc: pm2.mm2_sqr_p(acc, mctx.W_mu,
+                                                   mctx.W_m), a)
+        variants["sqr_v2_as_mul"] = lambda: chain_mul(a)
+        variants["sqr_v2_sqr"] = lambda: chain_sqr(a)
+    if "v3" in args.variants:
+        from pailliercryptolib_python_tpu.ops import pallas_mont3 as pm3
+        w3 = pm3.byte_weights(m, L)
+
+        @jax.jit
+        def chain3(a):
+            return lax.fori_loop(
+                0, K, lambda i, acc: pm3.mm3_sqr_p(acc, *w3, tb=args.tb), a)
+        variants[f"sqr_v3_byte_tb{args.tb or pm3.tb_for(L)}"] = \
+            lambda: chain3(a)
+    run_variants(variants, oracle, B // 128, K)
+
+
+def cmd_exp(args, rng):
+    L, B, n_win = args.L, args.B, args.nwin
+    m = rand_modulus(rng, L)
+    R = 1 << (16 * L)
+    ctx = mg.MontCtx.for_modulus(m, min_bits=16 * L - 2, mxu=False)
+    baseints = rand_elems(rng, m, B)
+    base = jnp.asarray(ints_to_limbs([x * R % m for x in baseints], L))
+    digs = rng.integers(0, 16, size=(n_win, B)).astype(np.uint32)
+    digs_j = jnp.asarray(digs)
+
+    def oracle(got):
+        def ref(j):
             e = 0
             for w in range(n_win):
                 e = (e << 4) | int(digs[w, j])
-            return pow(baseints[j], e, mod) * (R % mod) % mod
+            return pow(baseints[j], e, m) * (R % m) % m
+        return all(g % m == ref(j) % m for j, g in enumerate(got[:2]))
 
-        variants = {
-            "exp_prod": lambda: pm.mont_exp_p(base, digs_j, n,
-                                              jnp.asarray(n0a), one),
-            "exp_C": lambda: jax.jit(make_exp_call(exp_kernel_C))(
-                base, digs_j, n, n0a, onef),
-        }
-        for name, fn in variants.items():
-            try:
-                out = np.asarray(fn())
-                got = limbs_to_ints(out)[:2]
-                ok = all(g % mod == oracle(j) % mod for j, g in enumerate(got))
-                dt = timeit(fn)
-                nmm = n_win * 5 * (B // 128)
-                print(f"{name}: ok={ok}  {dt * 1e3:.1f} ms "
-                      f"({dt / nmm * 1e6:.1f} us/tile-modmul, "
-                      f"{B / dt:.0f} exp/s)", flush=True)
-            except Exception as e:
-                print(f"{name}: FAILED {type(e).__name__}: {str(e)[:300]}",
-                      flush=True)
+    variants = {}
+    if "v1" in args.variants:
+        variants["exp_v1_cios"] = lambda: pm.mont_exp_p(
+            base, digs_j, ctx.n_limbs, ctx.n0inv, ctx.one)
+    if "v2" in args.variants:
+        mctx = mm.MatmulMontCtx(m, L)
+        variants["exp_v2_mm"] = lambda: pm2.mm2_exp_p(
+            base, digs_j, mctx.W_mu, mctx.W_m, ctx.one)
+    if "v3" in args.variants:
+        from pailliercryptolib_python_tpu.ops import pallas_mont3 as pm3
+        w3 = pm3.byte_weights(m, L)
+        variants[f"exp_v3_byte_tb{args.tb or pm3.tb_for(L)}"] = \
+            lambda: pm3.mm3_exp_p(base, digs_j, *w3, ctx.one, tb=args.tb)
+    run_variants(variants, oracle, B // 128, n_win * 5, iters=3)
+
+
+def cmd_expshared(args, rng):
+    L, B, ebits, w = args.L, args.B, args.ebits, args.window
+    m = rand_modulus(rng, L)
+    R = 1 << (16 * L)
+    ctx = mg.MontCtx.for_modulus(m, min_bits=16 * L - 2, mxu=False)
+    baseints = rand_elems(rng, m, B)
+    base = jnp.asarray(ints_to_limbs([x * R % m for x in baseints], L))
+    e = int.from_bytes(rng.bytes(ebits // 8), "little") | (1 << (ebits - 1))
+    nw = -(-ebits // w)
+    dig = jnp.asarray(mg.exponent_digits([e], nw, w)[:, 0])
+
+    def oracle(got):
+        return all(g % m == pow(baseints[j], e, m) * (R % m) % m
+                   for j, g in enumerate(got[:2]))
+
+    variants = {}
+    if "v2" in args.variants:
+        mctx = mm.MatmulMontCtx(m, L)
+        variants[f"expshared_v2_w{w}"] = lambda: pm2.mm2_exp_shared_p(
+            base, dig, mctx.W_mu, mctx.W_m, ctx.one, window=w)
+    if "v3" in args.variants:
+        from pailliercryptolib_python_tpu.ops import pallas_mont3 as pm3
+        w3 = pm3.byte_weights(m, L)
+        variants[f"expshared_v3_w{w}_tb{args.tb or pm3.tb_for(L)}"] = \
+            lambda: pm3.mm3_exp_shared_p(base, dig, *w3, ctx.one, window=w,
+                                         tb=args.tb)
+    nmod = nw * (w + 1)
+    run_variants(variants, oracle, B // 128, nmod, iters=3)
+
+
+def cmd_crt(args, rng):
+    """Stage-by-stage decrypt profile at a fixed key."""
+    from pailliercryptolib_python_tpu.models import paillier as sch
+    from pailliercryptolib_python_tpu.utils.fixtures import fixed_key_ints
+
+    kd = fixed_key_ints(args.bits, enable_DJN=True)
+    pub = sch.PublicContext(kd["n"], kd["bits"], True, kd["hs"],
+                            kd["randbits"])
+    priv = sch.PrivateContext(pub, kd["p"], kd["q"])
+    B = args.B
+    vals = [int(v) for v in rng.integers(0, 2**60, size=B)]
+    ct = pub.encrypt(vals, apply_obfuscator=False)
+    ct.block_until_ready()
+    print(f"key {args.bits}b  L(n^2)={pub.L}  Lh={priv.Lh}  Lq={priv.Lq}  "
+          f"B={B}", flush=True)
+
+    t0 = time.perf_counter()
+    out = priv.decrypt_to_ints(ct, B)
+    print(f"decrypt_to_ints cold: {time.perf_counter() - t0:.2f} s",
+          flush=True)
+    assert out[:B] == [v % kd['n'] for v in vals], "decrypt mismatch"
+    t0 = time.perf_counter()
+    priv.decrypt_to_ints(ct, B)
+    total = time.perf_counter() - t0
+    print(f"decrypt_to_ints warm: {total * 1e3:.0f} ms "
+          f"({B / total:.0f} dec/s)", flush=True)
+
+    # stage split
+    for name, fn in priv.profile_stages(ct, B).items():
+        t0 = time.perf_counter()
+        r = fn()
+        if hasattr(r, "block_until_ready"):
+            r.block_until_ready()
+        print(f"  {name}: {(time.perf_counter() - t0) * 1e3:.0f} ms",
+              flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", choices=["mul", "sqr", "exp", "expshared", "crt"])
+    ap.add_argument("--L", type=int, default=257)
+    ap.add_argument("--B", type=int, default=1024)
+    ap.add_argument("--chain", type=int, default=16)
+    ap.add_argument("--nwin", type=int, default=256)
+    ap.add_argument("--ebits", type=int, default=1024)
+    ap.add_argument("--window", type=int, default=5)
+    ap.add_argument("--bits", type=int, default=2048)
+    ap.add_argument("--variants", type=lambda s: s.split(","),
+                    default=["v1", "v2", "v3"])
+    ap.add_argument("--tb", type=int, default=None)
+    args = ap.parse_args()
+    print("devices:", jax.devices(), file=sys.stderr, flush=True)
+    rng = np.random.default_rng(1)
+    {"mul": cmd_mul, "sqr": cmd_sqr, "exp": cmd_exp,
+     "expshared": cmd_expshared, "crt": cmd_crt}[args.cmd](args, rng)
 
 
 if __name__ == "__main__":

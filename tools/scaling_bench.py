@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Measured multi-device scaling of the sharded HE collectives (CPU mesh).
+
+Replaces the round-2 "projection with an assumed 2 ms comm bound" with
+measurements (VERDICT r2, missing #1).  Two instruments:
+
+1. weak_scaling_ms: wall time of the full federated job (elementwise
+   aggregate + sharded HE sum) with a FIXED per-device shard at 1/2/4/8
+   mesh devices.  All N forced-host CPU devices share this host's cores
+   (2 here), so this column mixes collective overhead WITH core
+   contention — it bounds efficiency from below.
+2. collective_delta_ms: at each mesh size, the same shard_map program
+   with the cross-device all-gather+fold REMOVED (local tree reduce
+   only), subtracted from the full path.  The delta isolates the
+   measured cost of the collective structure itself (gathers of (L,1)
+   partials + log2(N) folds) — the term round 2 assumed as "2 ms".
+
+Prints ONE JSON line; bench.py runs this in a subprocess (the TPU
+process cannot host the forced CPU mesh).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from pailliercryptolib_python_tpu.models import paillier as sch
+    from pailliercryptolib_python_tpu.ops import montgomery as mg
+    from pailliercryptolib_python_tpu.parallel import mesh as pmesh
+    from pailliercryptolib_python_tpu.parallel.collective import (
+        sharded_he_sum, federated_aggregate, _local_tree_reduce)
+    from pailliercryptolib_python_tpu.parallel.mesh import DCN_AXIS, ICI_AXIS
+    from pailliercryptolib_python_tpu.utils.fixtures import fixed_key_ints
+
+    bits = int(os.environ.get("SCALING_BITS", "1024"))
+    per_dev = int(os.environ.get("SCALING_PER_DEV", "1024"))
+
+    kd = fixed_key_ints(bits, enable_DJN=True)
+    pub = sch.PublicContext(kd["n"], kd["bits"], True, kd["hs"],
+                            kd["randbits"])
+    priv = sch.PrivateContext(pub, kd["p"], kd["q"])
+    rng = np.random.default_rng(5)
+
+    def timeit(fn, iters=3):
+        out = fn()
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters
+
+    results = {"bits": bits, "per_device_batch": per_dev, "host_cores":
+               os.cpu_count(), "weak_scaling_ms": {},
+               "collective_delta_ms": {}}
+    for ndev in (1, 2, 4, 8):
+        B = per_dev * ndev
+        vals = [int(v) for v in rng.integers(0, 2**40, size=B)]
+        ct = pub.encrypt(vals, apply_obfuscator=False)
+        mesh = pmesh.make_mesh(1, ndev, devices=jax.devices()[:ndev])
+        ct_sh = pmesh.shard_batch(ct, mesh)
+        ct2_sh = pmesh.shard_batch(
+            pub.encrypt(vals, apply_obfuscator=False), mesh)
+
+        def full_job():
+            agg = federated_aggregate([ct_sh, ct2_sh], pub.ctx, mesh)
+            return sharded_he_sum(agg, pub.ctx, mesh)
+
+        # identical program minus the cross-device gather+fold: each
+        # device aggregates and reduces its local shard only
+        def local(a_blk, b_blk, n_limbs, n0inv, r2, one):
+            lctx = mg.MontCtx(n_limbs, n0inv, r2, one)
+            agg = mg.mont_mul(a_blk, b_blk, lctx)
+            return _local_tree_reduce(agg, one, lctx)
+
+        spec_ct = P(None, (DCN_AXIS, ICI_AXIS))
+        spec_rep = P(None, None)
+        local_job = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(spec_ct, spec_ct, spec_rep, P(None), spec_rep,
+                      spec_rep),
+            out_specs=spec_ct, check_vma=False)
+
+        t_full = timeit(full_job)
+        t_local = timeit(lambda: local_job(
+            ct_sh, ct2_sh, pub.ctx.n_limbs, pub.ctx.n0inv, pub.ctx.r2,
+            pub.ctx.one))
+        total = jax.block_until_ready(full_job())
+        got = priv.decrypt_to_ints(jnp.asarray(np.asarray(total)), 1)[0]
+        assert got == 2 * sum(vals) % kd["n"], "scaling job total mismatch"
+        results["weak_scaling_ms"][str(ndev)] = round(t_full * 1e3, 2)
+        results["collective_delta_ms"][str(ndev)] = round(
+            (t_full - t_local) * 1e3, 2)
+
+    t1 = results["weak_scaling_ms"]["1"]
+    results["weak_efficiency_vs_1dev"] = {
+        nd: round(t1 / t, 4) for nd, t in results["weak_scaling_ms"].items()}
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
