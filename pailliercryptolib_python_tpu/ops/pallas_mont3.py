@@ -59,12 +59,11 @@ _ROWS_PER_L = 40
 
 
 def tb_for(L: int) -> int:
-    """Batch-tile width: at small L per-op fixed overheads dominate (a
-    (L,128) VPU pass is ~17 cycles of real work at L=129) so wider tiles
-    amortize them; the ceiling is the scoped-VMEM budget."""
-    for tb in (512, 256, 128):
-        if 4 * tb * _ROWS_PER_L * L <= _VMEM_BUDGET:
-            return tb
+    """Batch-tile width for the mul/sqr kernels.  Measured (kbench, L=257,
+    B=2048): tb=128 22.5 us/tile-modmul vs tb=256 24.9 — wider tiles LOSE
+    on the general modmul (VMEM pressure in the product loop), matching
+    the round-1 CIOS finding.  The shared-exp kernel is the exception
+    (its per-window overhead amortizes with width — see _shared_tb)."""
     return 128
 
 

@@ -25,17 +25,27 @@ from .mesh import DCN_AXIS, ICI_AXIS, batch_sharding
 
 def _local_tree_reduce(x: jnp.ndarray, one: jnp.ndarray,
                        ctx: mg.MontCtx) -> jnp.ndarray:
-    """Reduce a (L, Bloc) block to its HE sum in column 0 (keeps width)."""
-    Bloc = x.shape[1]
+    """Reduce a (L, Bloc) block to its HE sum: log2 FOLDING rounds (each
+    round modmuls the upper half into the lower half, halving the width
+    — same scheme as models.paillier._segment_tree_reduce)."""
+    L, Bloc = x.shape
     P2 = 1 << max(0, (Bloc - 1).bit_length())
     if P2 != Bloc:
-        pad = jnp.broadcast_to(one, (x.shape[0], P2 - Bloc))
+        pad = jnp.broadcast_to(one, (L, P2 - Bloc))
         x = jnp.concatenate([x, pad], axis=1)
-    shift = 1
-    while shift < P2:
-        x = mg.mont_mul(x, jnp.roll(x, -shift, axis=1), ctx)
-        shift <<= 1
-    return x[:, :1]
+    width = P2
+    while width > 1:
+        half = width // 2
+        x = mg.mont_mul(x[:, :half], x[:, half:], ctx)
+        width = half
+    return x
+
+
+def _rep_specs(ctx):
+    """Replicated PartitionSpecs matching the MontCtx pytree (rank-aware;
+    optional weight leaves may be None)."""
+    return jax.tree_util.tree_map(
+        lambda a: P(*([None] * jnp.ndim(a))), ctx)
 
 
 def sharded_he_sum(ct: jnp.ndarray, ctx: mg.MontCtx, mesh: Mesh,
@@ -43,30 +53,29 @@ def sharded_he_sum(ct: jnp.ndarray, ctx: mg.MontCtx, mesh: Mesh,
     """HE sum of a batch-sharded ciphertext array -> replicated (L, 1).
 
     Strategy: shard_map over the mesh; each device tree-reduces its local
-    shard (zero communication), then partials are all-gathered over
-    (ICI, DCN) and folded with log2 modmuls — ~log2(B) local modmuls plus
-    one small collective, instead of gathering B ciphertexts.
+    shard (zero communication, folding tree on the full ctx incl. the
+    MXU weights), then partials are all-gathered over (ICI, DCN) and
+    folded with log2 modmuls — ~log2(B) local modmuls plus one small
+    collective, instead of gathering B ciphertexts.
 
     Padding columns must hold the Montgomery one (HE zero); callers that
     sliced real data in keep b == B.
     """
-    L, B = ct.shape
 
-    def local(ct_blk, n_limbs, n0inv, r2, one):
-        lctx = mg.MontCtx(n_limbs, n0inv, r2, one)
-        partial_ = _local_tree_reduce(ct_blk, one, lctx)        # (L, 1)
+    def local(ct_blk, lctx):
+        partial_ = _local_tree_reduce(ct_blk, lctx.one, lctx)   # (L, 1)
         # gather every device's partial over both mesh axes
         allp = jax.lax.all_gather(partial_, ICI_AXIS, axis=1, tiled=True)
         allp = jax.lax.all_gather(allp, DCN_AXIS, axis=1, tiled=True)
-        return _local_tree_reduce(allp, one, lctx)              # (L, 1)
+        return _local_tree_reduce(allp, lctx.one, lctx)         # (L, 1)
 
     spec_ct = P(None, (DCN_AXIS, ICI_AXIS))
     spec_rep = P(None, None)
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(spec_ct, spec_rep, P(None), spec_rep, spec_rep),
+        in_specs=(spec_ct, _rep_specs(ctx)),
         out_specs=spec_rep, check_vma=False)
-    return fn(ct, ctx.n_limbs, ctx.n0inv, ctx.r2, ctx.one)
+    return fn(ct, ctx)
 
 
 def sharded_elementwise(fn, mesh: Mesh):

@@ -47,7 +47,7 @@ def main():
     from pailliercryptolib_python_tpu.utils.fixtures import fixed_key_ints
 
     bits = int(os.environ.get("SCALING_BITS", "1024"))
-    per_dev = int(os.environ.get("SCALING_PER_DEV", "1024"))
+    per_dev = int(os.environ.get("SCALING_PER_DEV", "512"))
 
     kd = fixed_key_ints(bits, enable_DJN=True)
     pub = sch.PublicContext(kd["n"], kd["bits"], True, kd["hs"],
@@ -56,13 +56,17 @@ def main():
     rng = np.random.default_rng(5)
 
     def timeit(fn, iters=3):
-        out = fn()
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
+        """Min-of-N single-run times: robust to core-contention spikes
+        on this 2-core host (the mean was +/-20% noisy)."""
+        fn_out = fn()
+        jax.block_until_ready(fn_out)
+        best = float("inf")
         for _ in range(iters):
+            t0 = time.perf_counter()
             out = fn()
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / iters
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     results = {"bits": bits, "per_device_batch": per_dev, "host_cores":
                os.cpu_count(), "weak_scaling_ms": {},
@@ -82,23 +86,21 @@ def main():
 
         # identical program minus the cross-device gather+fold: each
         # device aggregates and reduces its local shard only
-        def local(a_blk, b_blk, n_limbs, n0inv, r2, one):
-            lctx = mg.MontCtx(n_limbs, n0inv, r2, one)
+        from pailliercryptolib_python_tpu.parallel.collective import (
+            _rep_specs)
+
+        def local(a_blk, b_blk, lctx):
             agg = mg.mont_mul(a_blk, b_blk, lctx)
-            return _local_tree_reduce(agg, one, lctx)
+            return _local_tree_reduce(agg, lctx.one, lctx)
 
         spec_ct = P(None, (DCN_AXIS, ICI_AXIS))
-        spec_rep = P(None, None)
         local_job = jax.shard_map(
             local, mesh=mesh,
-            in_specs=(spec_ct, spec_ct, spec_rep, P(None), spec_rep,
-                      spec_rep),
+            in_specs=(spec_ct, spec_ct, _rep_specs(pub.ctx)),
             out_specs=spec_ct, check_vma=False)
 
         t_full = timeit(full_job)
-        t_local = timeit(lambda: local_job(
-            ct_sh, ct2_sh, pub.ctx.n_limbs, pub.ctx.n0inv, pub.ctx.r2,
-            pub.ctx.one))
+        t_local = timeit(lambda: local_job(ct_sh, ct2_sh, pub.ctx))
         total = jax.block_until_ready(full_job())
         got = priv.decrypt_to_ints(jnp.asarray(np.asarray(total)), 1)[0]
         assert got == 2 * sum(vals) % kd["n"], "scaling job total mismatch"
