@@ -56,7 +56,11 @@ PROD_UNROLL = 8
 # 1.9x at L=129) but regresses badly at L=257 — Mosaic's elementwise
 # fusion appears to fall apart once operands exceed ~256 sublanes.
 # Larger moduli use the shifted-concat block accumulation instead.
-PRESHIFT_MAX_L = 192
+# The exact cutoff between the measured points (129 good, 257 bad) is
+# unprobed; it also gates the squaring specialization, and L=194 (the
+# 3072-bit CRT half) sits just above the default — env-tunable for A/B.
+import os as _os
+PRESHIFT_MAX_L = int(_os.environ.get("PAILLIER_PRESHIFT_MAX_L", "192"))
 
 
 def _mm2_product_preshift(a_val, b_val, t_scr, L):

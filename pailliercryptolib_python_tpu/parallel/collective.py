@@ -60,22 +60,34 @@ def sharded_he_sum(ct: jnp.ndarray, ctx: mg.MontCtx, mesh: Mesh,
 
     Padding columns must hold the Montgomery one (HE zero); callers that
     sliced real data in keep b == B.
+
+    The shard_map program is cached per (mesh, shapes): rebuilding the
+    closure every call would defeat jax's jit cache and recompile the
+    collective on every invocation (measured: ~27 s/call at 2048-bit).
     """
+    key = (mesh, ct.shape, ct.dtype,
+           tuple((a.shape, a.dtype) for a in jax.tree_util.tree_leaves(ctx)))
+    fn = _HE_SUM_CACHE.get(key)
+    if fn is None:
+        def local(ct_blk, lctx):
+            partial_ = _local_tree_reduce(ct_blk, lctx.one, lctx)  # (L, 1)
+            # gather every device's partial over both mesh axes
+            allp = jax.lax.all_gather(partial_, ICI_AXIS, axis=1,
+                                      tiled=True)
+            allp = jax.lax.all_gather(allp, DCN_AXIS, axis=1, tiled=True)
+            return _local_tree_reduce(allp, lctx.one, lctx)        # (L, 1)
 
-    def local(ct_blk, lctx):
-        partial_ = _local_tree_reduce(ct_blk, lctx.one, lctx)   # (L, 1)
-        # gather every device's partial over both mesh axes
-        allp = jax.lax.all_gather(partial_, ICI_AXIS, axis=1, tiled=True)
-        allp = jax.lax.all_gather(allp, DCN_AXIS, axis=1, tiled=True)
-        return _local_tree_reduce(allp, lctx.one, lctx)         # (L, 1)
-
-    spec_ct = P(None, (DCN_AXIS, ICI_AXIS))
-    spec_rep = P(None, None)
-    fn = jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(spec_ct, _rep_specs(ctx)),
-        out_specs=spec_rep, check_vma=False)
+        spec_ct = P(None, (DCN_AXIS, ICI_AXIS))
+        spec_rep = P(None, None)
+        fn = jax.jit(jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(spec_ct, _rep_specs(ctx)),
+            out_specs=spec_rep, check_vma=False))
+        _HE_SUM_CACHE[key] = fn
     return fn(ct, ctx)
+
+
+_HE_SUM_CACHE: dict = {}
 
 
 def sharded_elementwise(fn, mesh: Mesh):

@@ -94,10 +94,12 @@ def main():
             return _local_tree_reduce(agg, lctx.one, lctx)
 
         spec_ct = P(None, (DCN_AXIS, ICI_AXIS))
-        local_job = jax.shard_map(
+        # jit once: a bare shard_map callable retraces every call, which
+        # would charge trace/compile time to the "local" leg of the delta
+        local_job = jax.jit(jax.shard_map(
             local, mesh=mesh,
             in_specs=(spec_ct, spec_ct, _rep_specs(pub.ctx)),
-            out_specs=spec_ct, check_vma=False)
+            out_specs=spec_ct, check_vma=False))
 
         t_full = timeit(full_job)
         t_local = timeit(lambda: local_job(ct_sh, ct2_sh, pub.ctx))
