@@ -352,26 +352,32 @@ def federated_1m(pub, priv, kd, results, rng):
     from pailliercryptolib_python_tpu.parallel.collective import (
         sharded_he_sum)
 
+    import jax
+
     shard = B // 8
     ct_as, ct_bs = ct_a[:, :shard], ct_b[:, :shard]
 
+    # both legs as ONE jitted program each, so the delta compares the
+    # collective structure and not dispatch-count artifacts
+    local_prog = jax.jit(lambda a, b: pub.tree_reduce(
+        mg.mont_mul(a, b, pub.ctx), shard))
+
     def shard_step():
-        agg = mg.mont_mul(ct_as, ct_bs, pub.ctx)
-        total = pub.tree_reduce(agg, shard)
+        total = local_prog(ct_as, ct_bs)
         total.block_until_ready()
         return total
 
     t_shard = timeit(shard_step, warmup=1, iters=2)
 
     tpu_mesh = pmesh.make_mesh(1, 1)
+    coll_prog = jax.jit(lambda a, b: sharded_he_sum(
+        mg.mont_mul(a, b, pub.ctx), pub.ctx, tpu_mesh))
 
     def shard_step_collective():
-        agg = mg.mont_mul(ct_as, ct_bs, pub.ctx)
-        total = sharded_he_sum(agg, pub.ctx, tpu_mesh)
+        total = coll_prog(ct_as, ct_bs)
         jax.block_until_ready(total)
         return total
 
-    import jax
     t_coll = timeit(shard_step_collective, warmup=1, iters=2)
     delta = max(0.0, t_coll - t_shard)
     eff = t_shard / (t_shard + delta)

@@ -573,13 +573,37 @@ def build_pow2_ladder(base_mont: jnp.ndarray, ctx: MontCtx, nbits: int) -> jnp.n
 
 
 @partial(jax.jit, static_argnames=("window",))
-def build_comb_table(ladder: jnp.ndarray, ctx: MontCtx, window: int) -> jnp.ndarray:
+def _comb_chunk(lad: jnp.ndarray, ctx: MontCtx, j_idx: jnp.ndarray,
+                d_idx: jnp.ndarray, window: int) -> jnp.ndarray:
+    """One fixed-width slice of the comb build: entries (j_idx, d_idx)
+    as `window` batched modmuls over (L, C) lanes."""
+    nbits, L = lad.shape
+    acc = jnp.broadcast_to(ctx.one, (L, j_idx.shape[0]))
+    for s in range(window):
+        bit_set = (d_idx >> s) & 1                    # (C,)
+        src = jnp.clip(window * j_idx + s, 0, nbits - 1)
+        factor = lad[src].T                           # (L, C)
+        prod = mont_mul(acc, factor, ctx)
+        acc = jnp.where((bit_set == 1)[None, :], prod, acc)
+    return acc
+
+
+# Lane width of one comb-build program.  One monolithic program over all
+# n_win * 2^w entries (352k lanes at 2048-bit/w=12) is a 12-deep chain of
+# grid-2752 Pallas calls whose compile time through the remote relay was
+# wildly unstable (6.9 s cached / 370 s / 1549 s observed) — fixed-shape
+# chunks compile ONCE (small) and stream.
+COMB_CHUNK_LANES = 32768
+
+
+def build_comb_table(ladder: jnp.ndarray, ctx: MontCtx,
+                     window: int) -> jnp.ndarray:
     """Comb table T[j, d] = base^(d * 2^(window*j)) from the pow2 ladder.
 
     ladder: (nbits, L, 1).  Returns (n_win, L, 2^window) — entries in the
-    lane axis so per-element selection is a lane gather (and the Pallas
-    chain path gathers (n_win, L, B) factors with one take_along_axis).
-    Built with `window` batched modmuls over a (L, n_win * 2^window) batch.
+    lane axis so per-element selection is a lane gather.  Built with
+    `window` batched modmuls per fixed-width lane chunk (one compiled
+    program reused across chunks).
     """
     nbits, L, _ = ladder.shape
     n_win = -(-nbits // window)
@@ -587,17 +611,25 @@ def build_comb_table(ladder: jnp.ndarray, ctx: MontCtx, window: int) -> jnp.ndar
     NE = n_win * tsize
 
     # entry e = (j, d): value = prod over set bits s of d: ladder[w*j + s]
-    j_idx = jnp.repeat(jnp.arange(n_win), tsize)      # (NE,)
-    d_idx = jnp.tile(jnp.arange(tsize), n_win)        # (NE,)
-
-    acc = jnp.broadcast_to(ctx.one, (L, NE))
+    j_np = np.repeat(np.arange(n_win, dtype=np.int32), tsize)   # (NE,)
+    d_np = np.tile(np.arange(tsize, dtype=np.int32), n_win)     # (NE,)
     lad = ladder[:, :, 0]  # (nbits, L)
-    for s in range(window):
-        bit_set = (d_idx >> s) & 1  # (NE,)
-        src = jnp.clip(window * j_idx + s, 0, nbits - 1)
-        factor = lad[src].T  # (L, NE)
-        prod = mont_mul(acc, factor, ctx)
-        acc = jnp.where((bit_set == 1)[None, :], prod, acc)
+
+    CH = COMB_CHUNK_LANES
+    if NE <= CH:
+        acc = _comb_chunk(lad, ctx, jnp.asarray(j_np), jnp.asarray(d_np),
+                          window)
+    else:
+        outs = []
+        for c0 in range(0, NE, CH):
+            c1 = min(NE, c0 + CH)
+            jc = np.zeros(CH, dtype=np.int32)
+            dc = np.zeros(CH, dtype=np.int32)
+            jc[:c1 - c0] = j_np[c0:c1]
+            dc[:c1 - c0] = d_np[c0:c1]
+            outs.append(_comb_chunk(lad, ctx, jnp.asarray(jc),
+                                    jnp.asarray(dc), window)[:, :c1 - c0])
+        acc = jnp.concatenate(outs, axis=1)
     # (L, NE) -> (n_win, L, tsize)
     return acc.reshape(L, n_win, tsize).transpose(1, 0, 2)
 
