@@ -192,15 +192,19 @@ def bench_key(bits, batches, results, rng, headline_B=None,
             return out
 
         t_dec = timeit(decrypt_device)
-        results[f"BM_Decrypt/{tag}"] = t_dec
+        results[f"BM_Decrypt_device/{tag}"] = t_dec
         # host tail: D2H (relay-inflated here, like encrypt's H2D) + the
-        # C-ext limb unpack — reported separately, same policy as encrypt
+        # C-ext limb unpack.  BM_Decrypt keeps end-to-end (device + tail)
+        # semantics so it stays comparable with round-2 BENCH and the
+        # reference harness, which both charge host conversion.
         m_dev = decrypt_device()
         t0 = time.perf_counter()
         ints = limbs_to_ints_mod(m_dev, B)
         t_dtail = time.perf_counter() - t0
-        log(f"BM_Decrypt/{tag}: {t_dec * 1e6:.0f} us ({B / t_dec:.1f} dec/s "
-            f"device-path; D2H+unpack {t_dtail * 1e3:.0f} ms)")
+        results[f"BM_Decrypt/{tag}"] = t_dec + t_dtail
+        log(f"BM_Decrypt/{tag}: {(t_dec + t_dtail) * 1e6:.0f} us e2e "
+            f"({t_dec * 1e6:.0f} us device-path = {B / t_dec:.1f} dec/s; "
+            f"D2H+unpack {t_dtail * 1e3:.0f} ms)")
 
         if headline_B and B == headline_B:
             # host-side pipeline cost (pure host compute — fixed-point

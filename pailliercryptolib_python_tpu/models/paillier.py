@@ -402,7 +402,7 @@ class PublicContext:
 
 
 @partial(jax.jit, static_argnames=("Lh",))
-def _crt_stage_reduce(ct_mont, n2_ctx, sq_ctx, r3_p, r3_q, Lh):
+def _crt_stage_reduce(ct_mont, sq_ctx, r3_p, r3_q, Lh):
     """CRT stage 1: wide Montgomery reduction of the MONTGOMERY-form
     mod-n^2 ciphertext straight into the p^2/q^2 domains.
 
@@ -641,7 +641,7 @@ class PrivateContext:
         # Three jitted stages rather than one: XLA's compile time explodes
         # (~1s/stage separate vs ~7min fused) when the reduce, the Pallas
         # modexp and the recombination land in a single program.
-        base_m = _crt_stage_reduce(ct_mont, self.pub.ctx, self._sq_ctx(B),
+        base_m = _crt_stage_reduce(ct_mont, self._sq_ctx(B),
                                    self.r3_p, self.r3_q, self.Lh)
         if self._sq_p.wmu is not None:
             # MXU path: the two half-width exponentiations run as
@@ -665,7 +665,7 @@ class PrivateContext:
         Each thunk runs one decrypt stage on the inputs the production
         path would hand it; callers time them individually."""
         B = ct_mont.shape[1]
-        base_m = _crt_stage_reduce(ct_mont, self.pub.ctx, self._sq_ctx(B),
+        base_m = _crt_stage_reduce(ct_mont, self._sq_ctx(B),
                                    self.r3_p, self.r3_q, self.Lh)
         base_m.block_until_ready()
         if self._sq_p.wmu is not None:
@@ -685,8 +685,7 @@ class PrivateContext:
         m.block_until_ready()
         stages = {
             "stage1_reduce": lambda: _crt_stage_reduce(
-                ct_mont, self.pub.ctx, self._sq_ctx(B), self.r3_p,
-                self.r3_q, self.Lh),
+                ct_mont, self._sq_ctx(B), self.r3_p, self.r3_q, self.Lh),
             "stage3_recombine": lambda: _crt_stage_recombine(
                 u, self._pq_ctx(B), self._q_ctx, self.pinv_R, self.qinv_R,
                 self.hpR, self.hqR, self.p_limbs, self.q_limbs,

@@ -20,7 +20,12 @@ def _try_build():
     src = os.path.join(_HERE, "sieve.c")
     suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
     out = os.path.join(_HERE, "_paillier_native" + suffix)
-    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+    try:
+        src_mtime = os.path.getmtime(src)
+    except OSError:
+        # binary-only install (sieve.c absent): use the prebuilt .so
+        return out if os.path.exists(out) else None
+    if os.path.exists(out) and os.path.getmtime(out) >= src_mtime:
         return out
     include = sysconfig.get_paths()["include"]
     cc = os.environ.get("CC", "cc")

@@ -232,16 +232,6 @@ def _pad_to(x, BP):
     return jnp.pad(x, pad)
 
 
-def _wspecs(shapes, extra_prefetch=0):
-    """BlockSpecs pinning whole arrays (weights/offsets) in VMEM."""
-    n_idx = 1 + extra_prefetch
-
-    def mk(s):
-        return pl.BlockSpec(s, (lambda *a: (0,) * len(s)),
-                            memory_space=pltpu.VMEM)
-    return [mk(s) for s in shapes]
-
-
 # ---------------------------------------------------------------------------
 # Kernel 1: single Montgomery product / squaring.
 # ---------------------------------------------------------------------------

@@ -50,9 +50,16 @@ def initialize(coordinator_address: str | None = None,
     """Join the multi-host cluster (idempotent).
 
     Explicit arguments win; otherwise the PAILLIER_* env contract is
-    used; on Cloud TPU pods with none of those set, jax.distributed's own
-    metadata auto-detection is attempted.  Returns True when a multi-host
-    runtime is (now) active, False for single-process runs.
+    used.  Returns True when THIS call (or a previous one) activated a
+    multi-host runtime, False otherwise.
+
+    Contract note: when jax.distributed was initialized by someone else
+    (not through this function) and the PAILLIER_* env vars are absent,
+    this returns False without probing the backend — probing
+    jax.process_count() here would initialize the backend and foreclose
+    a later jax.distributed.initialize in single-process runs.  Callers
+    that bootstrap JAX themselves should size their mesh from
+    jax.process_count() directly instead of relying on this return.
     """
     global _initialized
     import jax

@@ -52,19 +52,37 @@ def test_extract_windows_oracle():
 
 
 def test_obfuscator_digits_match_python_path(monkeypatch):
-    """sample_obfuscator_digits via the C path must reconstruct the same
-    exponents as the numpy fallback decomposition."""
+    """sample_obfuscator_digits via the C path must produce the exact
+    digit array the numpy fallback decomposition produces, for byte-
+    aligned and non-aligned windows, given the same entropy stream."""
     from pailliercryptolib_python_tpu.models import paillier as sch
     from pailliercryptolib_python_tpu.utils.fixtures import fixed_key_ints
+
+    if not native._load() or not hasattr(native._load(), "extract_windows"):
+        pytest.skip("C extension unavailable")
 
     kd = fixed_key_ints(1024, enable_DJN=True)
     pub = sch.PublicContext(kd["n"], kd["bits"], True, kd["hs"],
                             kd["randbits"])
-    w = pub.comb_window
-    digs = pub.sample_obfuscator_digits(16, as_numpy=True)
-    n_win = -(-pub.randbits // w)
-    assert digs.shape[0] == n_win
-    # every reconstructed exponent must be < 2^randbits
-    for c in range(16):
-        e = sum(int(digs[j, c]) << (w * j) for j in range(n_win))
-        assert e < (1 << pub.randbits)
+
+    entropy = bytes(rng.getrandbits(8) for _ in range(1 << 16))
+    monkeypatch.setattr(sch.secrets, "token_bytes",
+                        lambda nb: entropy[:nb])
+
+    for w in (8, 12, 5):
+        pub.comb_window = w
+        n_win = -(-pub.randbits // w)
+        digs_c = pub.sample_obfuscator_digits(16, as_numpy=True)
+        # force the numpy fallback path and resample the same entropy
+        monkeypatch.setattr(native, "extract_windows",
+                            lambda *a, **k: None)
+        digs_py = pub.sample_obfuscator_digits(16, as_numpy=True)
+        monkeypatch.undo()
+        monkeypatch.setattr(sch.secrets, "token_bytes",
+                            lambda nb: entropy[:nb])
+        assert digs_c.shape == (n_win, 16) == digs_py.shape, f"w={w}"
+        assert np.array_equal(digs_c, digs_py), f"C/fallback diverge w={w}"
+        # reconstructed exponents stay below 2^randbits
+        for c in range(16):
+            e = sum(int(digs_c[j, c]) << (w * j) for j in range(n_win))
+            assert e < (1 << pub.randbits)
