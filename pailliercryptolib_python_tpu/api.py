@@ -298,6 +298,25 @@ class PaillierEncryptedNumber:
         exps = [1 << int(d) if d > 0 else 1 for d in diffs]
         return self._ctx().mul_pt(ct_dev, exps)
 
+    def increase_exponent_to(self, x_ct: ipclCipherText, x_expo,
+                             exponent: int) -> ipclCipherText:
+        """Raise ciphertext elements to a target fixed-point exponent.
+
+        Reference public method (ipcl_python.py:528-568): every element
+        whose exponent is below `exponent` is multiplied by
+        BASE^(exponent - x_expo[i]); elements at or above the target are
+        returned unchanged (the reference does not error on them).  Here
+        the per-element factors run as ONE batched modexp instead of the
+        reference's gather/scatter through C++ sub-containers.
+        """
+        expo_diff = exponent - np.fromiter(x_expo, np.int64)
+        if not np.any(expo_diff > 0):
+            return x_ct
+        dev = self._scale_by_pow2(x_ct.device_array(),
+                                  np.maximum(expo_diff, 0))
+        return ipclCipherText(self.public_key.pubkey, _dev=dev,
+                              _length=len(x_ct))
+
     def _invert_columns(self, ct_dev, flags: np.ndarray, b: int):
         """Invert flagged ciphertext columns mod n^2, on device.
 

@@ -50,11 +50,79 @@ def test_mul_2048(keys):
         assert de[i] == pytest.approx(res[i], rel=1e-9, abs=1e-7)
 
 
-def test_matmul_2048(keys):
+def test_mul_drift_2048(keys):
+    """The reference's 100-iteration scalar drift loop at full key size
+    (ipcl_python_test.py:56-66): accumulated encode/align error must stay
+    within assertAlmostEqual tolerance.  The reference decrypts every
+    iteration; decrypting every 10th keeps the CPU-fallback runtime sane
+    while asserting the same accumulated state."""
     pk, sk = keys
-    m, n, k = 4, 5, 3
-    x_li = np.random.rand(m, n)
-    y_li = np.random.rand(n, k)
-    en_x = pk.encrypt(x_li.flatten())
-    de = np.array(sk.decrypt(en_x @ y_li)).reshape([m, k])
-    np.testing.assert_allclose(de, x_li @ y_li, atol=1e-7)
+    x = 9
+    en_x = pk.encrypt(x)
+    for i in range(100):
+        en_x = en_x + 5000
+        en_x = en_x - 0.2
+        x = x + 5000 - 0.2
+        if i % 10 == 9:
+            assert sk.decrypt(en_x) == pytest.approx(x, abs=1e-7)
+
+
+def _random_shapes(count=10, seed=2048):
+    rng = np.random.default_rng(seed)
+    return [tuple(int(v) for v in rng.integers(1, 9, size=3))
+            for _ in range(count)]
+
+
+def test_matmul_2048(keys):
+    """10 random (m, n, k) shapes per the reference (:68-84) — but
+    asserted (the reference calls np.allclose without checking it, a
+    documented upstream bug, SURVEY.md §4)."""
+    pk, sk = keys
+    for m, n, k in _random_shapes(seed=68):
+        x_li = np.random.rand(m, n)
+        y_li = np.random.rand(n, k)
+        en_x = pk.encrypt(x_li.flatten())
+        de = np.array(sk.decrypt(en_x @ y_li)).reshape([m, k])
+        np.testing.assert_allclose(de, x_li @ y_li, atol=1e-7)
+
+
+def test_rmatmul_2048(keys):
+    pk, sk = keys
+    for m, n, k in _random_shapes(seed=86):
+        x_li = np.random.rand(m, n).tolist()
+        y_li = np.random.rand(n, k)
+        en_y = pk.encrypt(y_li.flatten())
+        de = np.array(sk.decrypt(x_li @ en_y)).reshape([m, k])
+        np.testing.assert_allclose(de, np.array(x_li) @ y_li, atol=1e-7)
+
+
+def test_imatmul_2048(keys):
+    pk, sk = keys
+    for m, n, k in _random_shapes(seed=104):
+        x_li = np.random.rand(m, n)
+        y_li = np.random.rand(n, k)
+        en_x = pk.encrypt(x_li.flatten())
+        en_x @= y_li
+        de = np.array(sk.decrypt(en_x)).reshape([m, k])
+        np.testing.assert_allclose(de, x_li @ y_li, atol=1e-7)
+
+
+def test_increase_exponent_to_2048(keys):
+    """Public increase_exponent_to parity (reference ipcl_python.py:528-568)
+    on a mixed-exponent batch: raised elements decrypt unchanged and the
+    returned container carries the raised exponents."""
+    pk, sk = keys
+    vals = np.array([1.5, -2.25, 1000.0, 3.0])
+    ct = pk.encrypt(vals)
+    expos = ct.exponent()
+    target = max(expos) + 8
+    new_ct = ct.increase_exponent_to(ct.ciphertext(), expos, target)
+    from pailliercryptolib_python_tpu.api import PaillierEncryptedNumber
+    raised = PaillierEncryptedNumber(pk, new_ct, [target] * len(vals),
+                                     len(vals))
+    got = sk.decrypt(raised)
+    np.testing.assert_allclose(got, vals, atol=1e-9)
+    # elements already at/above the target are returned unchanged
+    same = ct.increase_exponent_to(ct.ciphertext(), [target] * len(vals),
+                                   target)
+    assert same is ct.ciphertext()
