@@ -31,7 +31,8 @@ from typing import Callable, Optional, Tuple, Union
 import numpy as np
 import jax.numpy as jnp
 
-from .fixedpoint import FixedPointNumber, encode_vector, decode_vector
+from .fixedpoint import (FixedPointNumber, encode_vector, decode_vector,
+                         decode_limbs_vector)
 from .models import paillier
 from .bindings.containers import (
     BigNumber,
@@ -192,13 +193,15 @@ class PaillierPrivateKey:
         return ret if len(ciphertext) > 1 else ret[0]
 
     def decrypt(self, encrypted_number: "PaillierEncryptedNumber"):
-        """Batched decrypt + vectorized fixed-point decode."""
+        """Batched decrypt + C-path fixed-point decode straight off the
+        plaintext limb array (no intermediate Python-int unpack)."""
         if encrypted_number.public_key.n != self.__n:
             raise ValueError("PailierPrivateKey.decrypt: Public key mismatch")
         ct = encrypted_number.ciphertext()
-        ints = self.prikey.context.decrypt_to_ints(ct.device_array(), len(ct))
-        ret = decode_vector(ints, encrypted_number.exponent(),
-                            self.__n, self.__max_int)
+        m_dev = self.prikey.context.decrypt_device(ct.device_array())
+        ret = decode_limbs_vector(np.asarray(m_dev), len(ct),
+                                  encrypted_number._expos_np(),
+                                  self.__n, self.__max_int)
         return ret if len(encrypted_number) > 1 else ret[0]
 
 

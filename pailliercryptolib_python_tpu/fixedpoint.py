@@ -261,9 +261,12 @@ def encode_vector(values, n: int, max_int: int):
 
     flat = arr.reshape(-1)
     if arr.dtype.kind in "iu":
-        vals = flat.astype(object)
+        mantissas = flat.tolist()   # C-speed scalar conversion
         exps = np.zeros(flat.shape[0], dtype=np.int64)
-        mantissas = [int(v) for v in vals]
+        if max_int >= (1 << 64):
+            # machine ints can never exceed max_int (n >= 128 bits):
+            # skip the per-element bound check, fold the sign
+            return [m if m >= 0 else m + n for m in mantissas], exps
     else:
         f = flat.astype(np.float64)
         tiny = np.abs(f) < 1e-200
@@ -294,6 +297,20 @@ def decode_vector(encodings, exponents, n: int, max_int: int):
     for enc, expo in zip(encodings, exponents):
         out.append(FixedPointNumber(int(enc), int(expo), n, max_int).decode())
     return out
+
+
+def decode_limbs_vector(limbs, count: int, exponents, n: int, max_int: int):
+    """Decode straight off a (L, B) canonical uint32 limb array (the
+    decrypt host tail): the C extension classifies sign, extracts
+    |mantissa| and converts per element in one pass — bit-identical to
+    decode_vector over unpacked ints, which remains the fallback."""
+    from . import native
+
+    out = native.decode_limbs16(limbs, count, exponents, n, max_int)
+    if out is not None:
+        return out
+    ints = native.unpack_limbs16(limbs)[:count]
+    return decode_vector(ints, exponents[:count], n, max_int)
 
 
 class FixedPointEndec:

@@ -109,6 +109,26 @@ def unpack_limbs16(arr) -> list:
             for i in range(arr.shape[1])]
 
 
+def decode_limbs16(arr, count: int, exps, n: int, max_int: int):
+    """Fixed-point decode straight off the (L, B) canonical limb array
+    (first `count` columns): one C pass doing sign classification,
+    |mantissa| extraction and int/float conversion per element.
+    Returns None when the C extension is unavailable (callers fall back
+    to limb unpack + the scalar decode loop)."""
+    import numpy as np
+    mod = _load()
+    if not mod or not hasattr(mod, "decode_limbs16"):
+        return None
+    arr = np.ascontiguousarray(np.asarray(arr, dtype=np.uint32))
+    L, stride = arr.shape
+    nb = L * 2
+    e = np.ascontiguousarray(np.asarray(exps, dtype=np.int64))
+    return mod.decode_limbs16(arr.tobytes(), count, stride, L, e.tobytes(),
+                              n.to_bytes(nb, "little"),
+                              max_int.to_bytes(nb, "little"),
+                              (n - max_int).to_bytes(nb, "little"))
+
+
 def extract_windows(buf: bytes, count: int, rbytes: int, window: int,
                     n_win: int):
     """(n_win, count) uint32 digit array: out[w, c] = bits

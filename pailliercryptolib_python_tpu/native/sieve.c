@@ -11,6 +11,7 @@
 
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
+#include <math.h>
 #include <stdint.h>
 #include <string.h>
 
@@ -267,6 +268,171 @@ extract_windows(PyObject *self, PyObject *args)
     return out;
 }
 
+/* -- fixed-point decode, C path ------------------------------------------ */
+
+/* compare little-endian byte strings of equal length: -1 / 0 / +1 */
+static int
+cmp_le(const uint8_t *a, const uint8_t *b, Py_ssize_t nb)
+{
+    for (Py_ssize_t i = nb - 1; i >= 0; i--) {
+        if (a[i] != b[i])
+            return a[i] < b[i] ? -1 : 1;
+    }
+    return 0;
+}
+
+/* out = a - b on little-endian byte strings (requires a >= b) */
+static void
+sub_le(uint8_t *out, const uint8_t *a, const uint8_t *b, Py_ssize_t nb)
+{
+    int borrow = 0;
+    for (Py_ssize_t i = 0; i < nb; i++) {
+        int d = (int)a[i] - (int)b[i] - borrow;
+        borrow = d < 0;
+        out[i] = (uint8_t)(d & 0xFF);
+    }
+}
+
+/* decode_limbs16(buf, count, stride, limbs, exps, n_le, max_int_le,
+ *                n_minus_max_le) -> list
+ *
+ * The decrypt host tail in one C pass: buf is the (limbs, stride) uint32
+ * limbs-major canonical plaintext array (first `count` columns valid),
+ * exps `count` int64 fixed-point exponents, and n / max_int /
+ * n - max_int as little-endian buffers of limbs*2 bytes.  Per element
+ * this reproduces FixedPointNumber.decode exactly (reference
+ * bindings/fixedpoint.py:98-115): encoding <= max_int -> positive,
+ * >= n - max_int -> negative (mantissa = encoding - n), else
+ * OverflowError; result = mantissa * 2^-exponent with CPython's own
+ * int->float rounding (PyLong_AsDouble) so values match the Python
+ * loop bit-for-bit, including exact int results for exponent <= 0.
+ */
+static PyObject *
+decode_limbs16(PyObject *self, PyObject *args)
+{
+    Py_buffer buf, exps, nle, mle, nmle;
+    Py_ssize_t count, stride, limbs;
+
+    if (!PyArg_ParseTuple(args, "y*nnny*y*y*y*", &buf, &count, &stride,
+                          &limbs, &exps, &nle, &mle, &nmle))
+        return NULL;
+    Py_ssize_t nb = limbs * 2;
+    if (buf.len < stride * limbs * 4 || exps.len < count * 8 ||
+        nle.len != nb || mle.len != nb || nmle.len != nb ||
+        count > stride) {
+        PyErr_SetString(PyExc_ValueError, "decode_limbs16: bad args");
+        goto fail_release;
+    }
+    {
+    const uint32_t *src = (const uint32_t *)buf.buf;
+    const int64_t *ev = (const int64_t *)exps.buf;
+    const uint8_t *nB = (const uint8_t *)nle.buf;
+    const uint8_t *mB = (const uint8_t *)mle.buf;
+    const uint8_t *nmB = (const uint8_t *)nmle.buf;
+    PyObject *out = PyList_New(count);
+    uint8_t *row = NULL, *mant = NULL;
+    if (!out)
+        goto fail_release;
+    row = (uint8_t *)PyMem_Malloc((size_t)nb);
+    mant = (uint8_t *)PyMem_Malloc((size_t)nb);
+    if (!row || !mant) {
+        PyErr_NoMemory();
+        goto fail;
+    }
+    for (Py_ssize_t c = 0; c < count; c++) {
+        for (Py_ssize_t l = 0; l < limbs; l++) {
+            uint32_t v = src[l * stride + c];
+            row[2 * l] = (uint8_t)(v & 0xFF);
+            row[2 * l + 1] = (uint8_t)((v >> 8) & 0xFF);
+        }
+        if (cmp_le(row, nB, nb) >= 0) {
+            PyErr_SetString(PyExc_ValueError,
+                            "Attempted to decode corrupted number");
+            goto fail;
+        }
+        int neg = 0;
+        if (cmp_le(row, mB, nb) <= 0) {
+            memcpy(mant, row, (size_t)nb);
+        } else if (cmp_le(row, nmB, nb) >= 0) {
+            neg = 1;
+            sub_le(mant, nB, row, nb); /* |encoding - n| */
+        } else {
+            PyObject *encO = _PyLong_FromByteArray(row, (size_t)nb, 1, 0);
+            PyObject *nO = _PyLong_FromByteArray(nB, (size_t)nb, 1, 0);
+            if (encO && nO)
+                PyErr_Format(PyExc_OverflowError,
+                             "Overflow detected in decode number, "
+                             "encoding: %S, %lld %S",
+                             encO, (long long)ev[c], nO);
+            Py_XDECREF(encO);
+            Py_XDECREF(nO);
+            goto fail;
+        }
+        int64_t e = ev[c];
+        PyObject *res;
+        if (e <= 0) {
+            /* mantissa * BASE^-e is an exact Python int */
+            PyObject *v = _PyLong_FromByteArray(mant, (size_t)nb, 1, 0);
+            if (!v)
+                goto fail;
+            if (e < 0) {
+                PyObject *sh = PyLong_FromLongLong(-e);
+                PyObject *t = sh ? PyNumber_Lshift(v, sh) : NULL;
+                Py_XDECREF(sh);
+                Py_DECREF(v);
+                if (!t)
+                    goto fail;
+                v = t;
+            }
+            if (neg) {
+                PyObject *t = PyNumber_Negative(v);
+                Py_DECREF(v);
+                if (!t)
+                    goto fail;
+                v = t;
+            }
+            res = v;
+        } else {
+            PyObject *v = _PyLong_FromByteArray(mant, (size_t)nb, 1, 0);
+            if (!v)
+                goto fail;
+            double d = PyLong_AsDouble(v);
+            Py_DECREF(v);
+            if (d == -1.0 && PyErr_Occurred())
+                goto fail; /* same OverflowError as int * float */
+            if (neg)
+                d = -d;
+            /* CPython: mantissa * pow(2, -e); pow underflows to 0.0
+             * past the subnormal range, ldexp(1,-e) matches within it */
+            double factor = (e <= 1074) ? ldexp(1.0, (int)-e) : 0.0;
+            res = PyFloat_FromDouble(d * factor);
+            if (!res)
+                goto fail;
+        }
+        PyList_SET_ITEM(out, c, res);
+    }
+    PyMem_Free(row);
+    PyMem_Free(mant);
+    PyBuffer_Release(&buf);
+    PyBuffer_Release(&exps);
+    PyBuffer_Release(&nle);
+    PyBuffer_Release(&mle);
+    PyBuffer_Release(&nmle);
+    return out;
+fail:
+    PyMem_Free(row);
+    PyMem_Free(mant);
+    Py_DECREF(out);
+    }
+fail_release:
+    PyBuffer_Release(&buf);
+    PyBuffer_Release(&exps);
+    PyBuffer_Release(&nle);
+    PyBuffer_Release(&mle);
+    PyBuffer_Release(&nmle);
+    return NULL;
+}
+
 static PyMethodDef Methods[] = {
     {"sieve_window", sieve_window, METH_VARARGS,
      "Trial-division sieve over a window of odd candidates."},
@@ -278,6 +444,8 @@ static PyMethodDef Methods[] = {
      "Limbs-major uint32 canonical limbs -> list of Python ints."},
     {"extract_windows", extract_windows, METH_VARARGS,
      "Bit-window digit extraction from row-major byte buffers."},
+    {"decode_limbs16", decode_limbs16, METH_VARARGS,
+     "Limbs-major plaintext array -> decoded fixed-point numbers."},
     {NULL, NULL, 0, NULL},
 };
 

@@ -122,3 +122,59 @@ def test_endec_tensor():
     assert (endec.decode(tr) == x).all()
     # scalar path
     assert endec.decode(endec.encode(7.125)) == 7.125
+
+
+def _to_limbs(vals, n, L):
+    out = np.zeros((L, len(vals)), dtype=np.uint32)
+    for c, v in enumerate(vals):
+        for l in range(L):
+            out[l, c] = (v >> (16 * l)) & 0xFFFF
+    return out
+
+
+def test_decode_limbs_vector_matches_decode_vector():
+    """The C decode path must be bit-identical to the scalar loop over
+    every sign/exponent regime, including exact ints (exponent <= 0),
+    huge positive exponents past the float-underflow cliff, and the
+    deep-negative-exponent exact-int branch."""
+    from pailliercryptolib_python_tpu.fixedpoint import decode_limbs_vector
+
+    L = (N.bit_length() + 15) // 16
+    cases = [
+        (123456789, 0), (N - 123456789, 0),             # exact ints
+        (12345, 53), (N - 12345, 53),                   # ordinary floats
+        ((1 << 300) % N if (1 << 300) < MAX_INT else 7, 10),
+        (MAX_INT, 0), (N - MAX_INT, 0),                 # bound values
+        (999, -64), (N - 999, -64),                     # int result, e<0
+        (88, 1100), (N - 88, 1100),                     # past underflow
+        (0, 0), (0, 42),
+    ]
+    encs = [c[0] for c in cases]
+    exps = np.array([c[1] for c in cases], dtype=np.int64)
+    arr = _to_limbs(encs, N, L)
+    got = decode_limbs_vector(arr, len(cases), exps, N, MAX_INT)
+    want = decode_vector(encs, exps, N, MAX_INT)
+    assert len(got) == len(want)
+    for g, w, c in zip(got, want, cases):
+        assert type(g) is type(w) and g == w, f"case {c}: {g!r} != {w!r}"
+        rw = ref.FixedPointNumber(c[0], int(c[1]), N, MAX_INT).decode()
+        assert g == rw, f"case {c}: {g!r} != reference {rw!r}"
+
+
+def test_decode_limbs_vector_errors():
+    from pailliercryptolib_python_tpu.fixedpoint import decode_limbs_vector
+    from pailliercryptolib_python_tpu import native
+
+    if native.decode_limbs16([[0]], 1, [0], 3, 1) is None:
+        pytest.skip("C extension unavailable")
+
+    L = (N.bit_length() + 15) // 16
+    # overflow region: max_int < enc < n - max_int
+    bad = MAX_INT + 12345
+    arr = _to_limbs([bad], N, L)
+    with pytest.raises(OverflowError) as ei:
+        decode_limbs_vector(arr, 1, np.array([7], dtype=np.int64),
+                            N, MAX_INT)
+    with pytest.raises(OverflowError) as er:
+        ref.FixedPointNumber(bad, 7, N, MAX_INT).decode()
+    assert str(ei.value) == str(er.value)
