@@ -327,10 +327,21 @@ class PaillierEncryptedNumber:
         product-tree batch inversion (one single-column xgcd + O(F)
         modmuls — ops.montgomery.mont_inv_tree), and scatters back.  The
         reference instead round-trips every element through host
-        gmpy2.invert (ipcl_python.py:272-276)."""
+        gmpy2.invert (ipcl_python.py:272-276).
+
+        With config.fixed_shape_ops the whole batch is inverted
+        unconditionally and flagged columns selected with a lane mask —
+        no data-dependent gather shape, so the device program (and its
+        timing) is independent of the plaintext sign pattern."""
         from .ops import montgomery as mg
+        from .utils import config as _config
         import jax.numpy as jnp
         ctx = self._ctx()
+        if _config.get_config().fixed_shape_ops:
+            inv = mg.mont_inv_tree_hostroot(ct_dev, ctx.ctx, ctx.nsquare)
+            mask = np.zeros(ct_dev.shape[1], dtype=bool)
+            mask[:len(flags)] = flags
+            return jnp.where(jnp.asarray(mask)[None, :], inv, ct_dev)
         idx = np.nonzero(flags)[0].astype(np.int32)
         sub = ctx.gather_batch(ct_dev, idx)          # (L, pad(F))
         inv = mg.mont_inv_tree_hostroot(sub, ctx.ctx, ctx.nsquare)

@@ -108,24 +108,95 @@ def is_probable_prime(n: int, rounds: int = 8) -> bool:
     return True
 
 
+def device_mr_base2(cands: list) -> np.ndarray:
+    """One deterministic base-2 Miller-Rabin round for a batch of odd
+    candidates, on device (SURVEY.md §7 "device-side bulk testing").
+
+    Each candidate is its own modulus: the per-element-moduli Montgomery
+    context batches all 2^d exponentiations (per-element exponents
+    d = (n-1)/2^r) into one kernel chain, then runs the max-r squaring
+    ladder with per-element masks.  Returns bool[len(cands)]: True iff
+    the candidate passes (2^d == +/-1 or some square reaches n-1).
+    Composites that pass base-2 are vanishingly rare for random
+    candidates; callers confirm survivors with host random-base rounds.
+    """
+    B = len(cands)
+    bits = max(int(c).bit_length() for c in cands)
+    Bp = pad_batch(B)
+    cands_p = list(cands) + [cands[-1]] * (Bp - B)
+    L = limbs_for_bits(bits + 2)
+    ctx = mg.MontCtx.for_moduli(cands_p, L)
+    tz = np.array([((c - 1) & -(c - 1)).bit_length() - 1
+                   for c in cands_p], dtype=np.int32)
+    ds = [(c - 1) >> int(t) for c, t in zip(cands_p, tz)]
+    n_win = max(1, -(-bits // WINDOW))
+    digits = mg.exponent_digits(ds, n_win, WINDOW)
+    two = jnp.asarray(ints_to_limbs([2] * Bp, L))
+    x = mg.mont_exp(mg.to_mont(two, ctx), jnp.asarray(digits), ctx,
+                    window=WINDOW)
+    one = jnp.asarray(ints_to_limbs([1] * Bp, L))
+    nm1 = jnp.asarray(ints_to_limbs([c - 1 for c in cands_p], L))
+    smax = int(tz.max())
+
+    def eq(a, b):
+        return jnp.all(a == b, axis=0)
+
+    xc = mg.from_mont(x, ctx)
+    ok = eq(xc, one) | eq(xc, nm1)
+    for i in range(1, smax):
+        x = mg.mont_mul(x, x, ctx)
+        xc = mg.from_mont(x, ctx)
+        ok = ok | (eq(xc, nm1) & jnp.asarray(i < tz))
+    return np.asarray(ok)[:B]
+
+
+def _primes_from_window(base: int, mask, bits: int, bulk: bool) -> int | None:
+    """First prime among the sieve survivors of one window, or None."""
+    cands = []
+    for j in range(len(mask)):
+        if not mask[j]:
+            continue
+        cand = base + 2 * j
+        if cand.bit_length() != bits:
+            break
+        cands.append(cand)
+    if not cands:
+        return None
+    if bulk:
+        passed = device_mr_base2(cands)
+        for c, okflag in zip(cands, passed):
+            if okflag and is_probable_prime(c):
+                return c
+        return None
+    for c in cands:
+        if is_probable_prime(c):
+            return c
+    return None
+
+
 def generate_prime(bits: int) -> int:
     """Random prime: windowed native trial-division sieve (C extension,
     mirroring the role of IPP-Crypto's sieve inside ipcl::generateKeypair)
-    + Miller-Rabin on the survivors via CPython's C-speed pow."""
+    + Miller-Rabin on the survivors.
+
+    On TPU with large bit-widths the deterministic base-2 round runs
+    device-batched over ALL sieve survivors of a window at once
+    (device_mr_base2) — one batched modexp replaces the ~100+ sequential
+    host pow() calls it takes to hit a prime; host Miller-Rabin confirms
+    the (rare) survivors.  Knob: config.keygen_device.
+    """
     from .. import native
 
+    cfg = _config.get_config().keygen_device
+    bulk = (cfg == "1") or (cfg == "auto" and mg._on_tpu()
+                            and bits >= 1024)
     window = 2048
     while True:
         base = secrets.randbits(bits) | (1 << (bits - 1)) | 1
         mask = native.sieve_window(base, window, _SMALL_PRIMES)
-        for j in range(window):
-            if not mask[j]:
-                continue
-            cand = base + 2 * j
-            if cand.bit_length() != bits:
-                break
-            if is_probable_prime(cand):
-                return cand
+        got = _primes_from_window(base, mask, bits, bulk)
+        if got is not None:
+            return got
 
 
 def generate_key_ints(n_length: int = 1024, enable_DJN: bool = True) -> dict:
@@ -348,11 +419,17 @@ class PublicContext:
         Digits are padded to the canonical mod-n window count and the
         kernel skips leading zero windows, so small exponents (the common
         case after the negative-plaintext rewrite) cost proportionally.
+        With config.fixed_shape_ops the skip is disabled: every call
+        runs the full mod-n window count, so device time is independent
+        of plaintext magnitude (timing side-channel hygiene).
         """
         B = ct.shape[1]
         exps = list(exponents) + [0] * (B - len(exponents))
-        maxbits = max((int(e).bit_length() for e in exps), default=1)
-        n_win_needed = max(1, -(-maxbits // WINDOW))
+        if _config.get_config().fixed_shape_ops:
+            n_win_needed = self.n_win_ct
+        else:
+            maxbits = max((int(e).bit_length() for e in exps), default=1)
+            n_win_needed = max(1, -(-maxbits // WINDOW))
         n_win_total = max(self.n_win_ct, n_win_needed)
         digits = mg.exponent_digits(exps, n_win_total, WINDOW)
         win_start = n_win_total - n_win_needed
@@ -591,6 +668,25 @@ class PrivateContext:
         self.dig_p = jnp.asarray(digd[:, 0])
         self.dig_q = jnp.asarray(digd[:, 1])
 
+        # RNS-Montgomery engine for the stage-2 exponentiation
+        # (docs/RNS_DESIGN.md; ops/rns.py): channel residues + MXU base
+        # extensions replace the VPU schoolbook product.  Both engines
+        # are exact; config.decrypt_engine selects ("auto" -> rns).
+        eng = _config.get_config().decrypt_engine
+        self.use_rns = eng in ("auto", "rns")
+        if self.use_rns:
+            from ..ops import rns as _rns
+            mb = max(psq.bit_length(), qsq.bit_length())
+            mbits_r = -(-mb // 64) * 64   # round up: share cached bases
+            self.rns_base = _rns.RnsBase.for_bits(mbits_r)
+            self.rns_p = _rns.RnsModulus.build(self.rns_base, psq, Lh)
+            self.rns_q = _rns.RnsModulus.build(self.rns_base, qsq, Lh)
+            self.rns_window = _config.get_config().rns_exp_window
+            nwr = -(-ebits // self.rns_window)
+            digr = mg.exponent_digits([p - 1, q - 1], nwr, self.rns_window)
+            self.rdig_p = jnp.asarray(digr[:, 0])
+            self.rdig_q = jnp.asarray(digr[:, 1])
+
         # Folded stage-1 constant F = R_h^3 * R_n2^{-1} mod p^2 / q^2: one
         # modmul maps the wide-REDC output of a MONTGOMERY-form mod-n^2
         # ciphertext (c*R_n2*R_h^{-1}) directly onto c*R_h — the mod-n^2
@@ -643,7 +739,10 @@ class PrivateContext:
         # modexp and the recombination land in a single program.
         base_m = _crt_stage_reduce(ct_mont, self._sq_ctx(B),
                                    self.r3_p, self.r3_q, self.Lh)
-        if self._sq_p.wmu is not None:
+        if self.use_rns:
+            u_p, u_q = self._rns_exp_halves(base_m)
+            u = jnp.concatenate([u_p, u_q], axis=1)
+        elif self._sq_p.wmu is not None:
             # MXU path: the two half-width exponentiations run as
             # shared-modulus, shared-exponent matmul-Montgomery kernels.
             u_p = _crt_stage_exp_half(base_m[:, :B], self._sq_p,
@@ -659,6 +758,20 @@ class PrivateContext:
             self.hpR, self.hqR, self.p_limbs, self.q_limbs, self.pinvqR,
             self.Lh, self.Lq, self.pub.Ln)
 
+    def _rns_exp_halves(self, base_m: jnp.ndarray):
+        """Stage 2 on the RNS engine: the two half-width exponentiations
+        as enter -> shared-exponent chain -> SK exit (ops/rns.py)."""
+        from ..ops import rns as _rns
+
+        B = base_m.shape[1] // 2
+        u_p = _rns.rns_crt_exp_half(base_m[:, :B], self.rdig_p,
+                                    self.rns_base, self.rns_p, self._sq_p,
+                                    self.rns_window, self.Lh)
+        u_q = _rns.rns_crt_exp_half(base_m[:, B:], self.rdig_q,
+                                    self.rns_base, self.rns_q, self._sq_q,
+                                    self.rns_window, self.Lh)
+        return u_p, u_q
+
     def profile_stages(self, ct_mont: jnp.ndarray, b: int) -> dict:
         """Per-stage thunks for the kernel microbench (tools/kbench.py crt).
 
@@ -668,7 +781,10 @@ class PrivateContext:
         base_m = _crt_stage_reduce(ct_mont, self._sq_ctx(B),
                                    self.r3_p, self.r3_q, self.Lh)
         base_m.block_until_ready()
-        if self._sq_p.wmu is not None:
+        if self.use_rns:
+            u_p, u_q = self._rns_exp_halves(base_m)
+            u = jnp.concatenate([u_p, u_q], axis=1)
+        elif self._sq_p.wmu is not None:
             u_p = _crt_stage_exp_half(base_m[:, :B], self._sq_p,
                                       self.dig_p, self.dec_window)
             u_q = _crt_stage_exp_half(base_m[:, B:], self._sq_q,
@@ -693,7 +809,12 @@ class PrivateContext:
             "stage4_d2h": lambda: np.asarray(m),
             "stage5_to_ints": lambda: limbs_to_ints(np.asarray(m))[:b],
         }
-        if self._sq_p.wmu is not None:
+        if self.use_rns:
+            stages["stage2_rns_p_half"] = lambda: self._rns_exp_halves(
+                base_m)[0]
+            stages["stage2_rns_q_half"] = lambda: self._rns_exp_halves(
+                base_m)[1]
+        elif self._sq_p.wmu is not None:
             stages["stage2_exp_p_half"] = lambda: _crt_stage_exp_half(
                 base_m[:, :B], self._sq_p, self.dig_p, self.dec_window)
             stages["stage2_exp_q_half"] = lambda: _crt_stage_exp_half(

@@ -1,0 +1,276 @@
+"""Pallas TPU kernel for the RNS-Montgomery shared-exponent chain.
+
+The XLA version of ops/rns.py round-trips the (CH, B) state through HBM
+on every elementwise fusion break — ~2,500 modmuls per decrypt make that
+memory-bound.  This kernel keeps the state, the 2^w-entry window table
+and the extension weights resident in VMEM for the WHOLE chain (one
+batch tile per grid step), exactly like the positional-limb shared-exp
+kernel (pallas_mont3._mm3_exp_shared_kernel) — but the modmul inside is
+the RNS one: elementwise channel REDC passes on the VPU plus two
+constant-matrix base extensions on the MXU.
+
+Extension matmuls run as CENTERED bf16 x bf16 -> f32 dots: operands are
+integers in [-128, 127] (exact in bf16), products <= 2^14 and partial
+sums < 2^23 (exact in f32), so the float matmul is bit-exact integer
+arithmetic on the MXU regardless of int8-matmul support in the
+toolchain.
+
+Scale/bound conventions are identical to ops/rns.py (the jnp reference
+path); tests/test_pallas_rns.py asserts bit-identical outputs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .rns import (RnsBase, RnsModulus, _cmul, _redc, _submod, _addmod,
+                  MASK16)
+
+INTERPRET = False
+
+_VMEM_BUDGET = 13_500_000
+
+
+def _pad8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def plan(CH: int) -> tuple:
+    """(window, tb) fitting the scoped-VMEM budget: the 2^w-entry state
+    table plus ~14 working copies of the (CHP, tb) state."""
+    for w in (5, 4, 3):
+        tb = tb_for(CH, w)
+        if tb:
+            return w, tb
+    return 2, 128
+
+
+def tb_for(CH: int, window: int) -> int | None:
+    CHP = _pad8(CH)
+    rows = (1 << window) * CHP + 14 * CHP
+    for tb in (128,):
+        if 4 * tb * rows <= _VMEM_BUDGET:
+            return tb
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Host-side weight packing (cached per (base, key) identity).
+# ---------------------------------------------------------------------------
+
+def _center_stack(lo: np.ndarray, hi: np.ndarray):
+    """[lo; hi] byte planes -> centered bf16 matrix + row-sum vector."""
+    E = np.concatenate([lo, hi], axis=0).astype(np.int32) - 128
+    CS = E.sum(axis=1, keepdims=True).astype(np.int32)
+    return E.astype(np.float32).astype(jnp.bfloat16), CS
+
+
+_PACK_CACHE = {}
+
+
+def pack(mbits: int, m: int):
+    """Kernel operand bundle: packed per-channel vector table, SK
+    constants, centered extension matrices and their row sums.
+
+    Built purely from the STATIC ints (mbits, m) — the RnsBase/RnsModulus
+    pytrees seen at trace time carry tracers, so everything is recomputed
+    from the cached concrete base (numpy; becomes trace constants)."""
+    ck = (mbits, m)
+    hit = _PACK_CACHE.get(ck)
+    if hit is not None:
+        return hit
+    from .rns import modulus_vectors
+    base = RnsBase.for_bits(mbits)
+    kv = modulus_vectors(mbits, m)
+    k, CH = base.k, base.CH
+    CHP = _pad8(CH)
+    vec = np.zeros((CHP, 8), dtype=np.uint32)
+    vec[:, 0] = 1                                     # pad-row modulus
+    vec[:CH, 0] = np.asarray(base.mods)[:, 0]
+    vec[:CH, 1] = np.asarray(base.n0)[:, 0]
+    vec[:CH, 2] = np.asarray(base.w15)[:, 0]
+    vec[:k, 3] = kv["K1"][:, 0]                       # xi mult (B rows)
+    vec[k:2 * k, 3] = np.asarray(base.K2g)[:, 0]      # xi' mult (B' rows)
+    vec[k:2 * k + 1, 4] = kv["u5"][:, 0]              # B' ++ m_r
+    vec[k:2 * k + 1, 5] = kv["v5"][:, 0]
+    vec[:k, 6] = kv["w9a"][:, 0]
+    vec[:k, 7] = kv["w9b"][:, 0]
+    skc = np.zeros((8, 1), dtype=np.uint32)
+    skc[0, 0] = np.asarray(base.exit_c)[0, 0]         # |2^48 M'^-1|_mr
+    skc[1, 0] = np.asarray(base.exit_c)[1, 0]         # |M'^-1|_mr
+    E1, CS1 = _center_stack(np.asarray(base.C1_lo), np.asarray(base.C1_hi))
+    E2, CS2 = _center_stack(np.asarray(base.C2_lo), np.asarray(base.C2_hi))
+    all_mods = (list(base.mods_B_int) + list(base.mods_Bp_int)
+                + [base.m_r])
+    Mm = base.M % m
+    one = np.zeros((CHP, 1), dtype=np.uint32)
+    one[:CH, 0] = [(Mm % mc) * (1 << 16) % mc for mc in all_mods]
+    out = dict(vec=vec, skc=skc, E1=E1, CS1=CS1, E2=E2, CS2=CS2,
+               one=one, CHP=CHP)
+    _PACK_CACHE[ck] = out
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Kernel.
+# ---------------------------------------------------------------------------
+
+def _dots_c(xi, E, CS, out_rows):
+    """Centered-bf16 plane dots of 16-bit digits xi (k_in, TB) against
+    the stacked matrix E = [lo'; hi'] ((2*out_rows, k_in) bf16).
+    Returns exact int32 S00, mid, S11 (out_rows, TB)."""
+    k_in = E.shape[1]
+    x0 = (xi & 0xFF).astype(jnp.int32)
+    x1 = (xi >> 8).astype(jnp.int32)
+    x0c = (x0 - 128).astype(jnp.bfloat16)
+    x1c = (x1 - 128).astype(jnp.bfloat16)
+    s0 = jnp.sum(x0, axis=0, keepdims=True) - 128 * k_in
+    s1 = jnp.sum(x1, axis=0, keepdims=True) - 128 * k_in
+    El, Eh = E[:out_rows], E[out_rows:]
+    cl, chi = CS[:out_rows], CS[out_rows:]
+
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32
+                       ).astype(jnp.int32)
+
+    off = 128 * 128 * k_in
+    S00 = dot(El, x0c) + 128 * s0 + 128 * cl + off
+    S11 = dot(Eh, x1c) + 128 * s1 + 128 * chi + off
+    mid = (dot(El, x1c) + dot(Eh, x0c)
+           + 128 * (s0 + s1) + 128 * (cl + chi) + 2 * off)
+    return S00, mid, S11
+
+
+def _combine(S00, mid, S11, mods, n0, w15):
+    """ops/rns._combine_planes on kernel values."""
+    lo = (mid & ((1 << 23) - 1)).astype(jnp.uint32)
+    hi = (mid >> 23).astype(jnp.uint32)
+    t = S00.astype(jnp.uint32) + (lo << 8)
+    v = _redc(t, mods, n0) + hi * w15 + S11.astype(jnp.uint32)
+    return _redc(v, mods, n0)
+
+
+def _mul_val(X, Y, c, *, k, CH, CHP):
+    """One RNS-Montgomery product on kernel values ((CHP, TB) uint32).
+    `c` is the unpacked constant bundle.  Mirrors rns.rns_mont_mul."""
+    (mods, n0, w15, ximul, u5, v5, w9a, w9b, skc, E1, CS1, E2, CS2) = c
+    TB = X.shape[1]
+    mB, n0B = mods[:k], n0[:k]
+    mT, n0T, w15T = mods[k:CH], n0[k:CH], w15[k:CH]     # B' ++ m_r
+    mR, n0R = mods[2 * k:CH], n0[2 * k:CH]
+
+    S = _cmul(X, Y, mods, n0)
+    xi = _cmul(S[:k], ximul[:k], mB, n0B)
+    S00, mid, S11 = _dots_c(xi, E1, CS1, k + 1)
+    Q = _combine(S00, mid, S11, mT, n0T, w15T)
+    Rp = _addmod(_cmul(S[k:CH], u5[k:CH], mT, n0T),
+                 _cmul(Q, v5[k:CH], mT, n0T), mT)
+    xip = _cmul(Rp[:k], ximul[k:2 * k], mods[k:2 * k], n0[k:2 * k])
+    T00, tmid, T11 = _dots_c(xip, E2, CS2, k + 1)
+    tgt_m = jnp.concatenate([mB, mR], axis=0)
+    tgt_n0 = jnp.concatenate([n0B, n0R], axis=0)
+    tgt_w15 = jnp.concatenate([w15[:k], w15[2 * k:CH]], axis=0)
+    Zh = _combine(T00, tmid, T11, tgt_m, tgt_n0, tgt_w15)
+    a = _cmul(Zh[k:], skc[0:1], mR, n0R)
+    b = _cmul(Rp[k:], skc[1:2], mR, n0R)
+    delta = _submod(a, b, mR)
+    t2 = _cmul(jnp.broadcast_to(delta, (k, TB)), w9a[:k], mB, n0B)
+    d = _submod(Zh[:k], t2, mB)
+    Z = _cmul(d, w9b[:k], mB, n0B)
+    pad = jnp.zeros((CHP - CH, TB), dtype=jnp.uint32)
+    return jnp.concatenate([Z, Rp, pad], axis=0)
+
+
+def _rns_exp_kernel(dig_ref, x_ref, vec_ref, skc_ref, e1_ref, cs1_ref,
+                    e2_ref, cs2_ref, one_ref, o_ref, tab_scr, *,
+                    window, k, CH):
+    CHP, TB = x_ref.shape
+    vec = vec_ref[...]
+    c = (vec[:, 0:1], vec[:, 1:2], vec[:, 2:3], vec[:, 3:4],
+         vec[:, 4:5], vec[:, 5:6], vec[:, 6:7], vec[:, 7:8],
+         skc_ref[...], e1_ref[...], cs1_ref[...], e2_ref[...],
+         cs2_ref[...])
+
+    def mul(x, y):
+        return _mul_val(x, y, c, k=k, CH=CH, CHP=CHP)
+
+    one = jnp.broadcast_to(one_ref[...], (CHP, TB))
+    base = x_ref[...]
+    tsize = 1 << window
+    tab_scr[0:CHP, :] = one
+    tab_scr[CHP:2 * CHP, :] = base
+    cur = base
+    for d in range(2, tsize):
+        cur = mul(cur, base)
+        tab_scr[d * CHP:(d + 1) * CHP, :] = cur
+
+    n_win = dig_ref.shape[0]
+
+    def wbody(j, acc):
+        for _ in range(window):
+            acc = mul(acc, acc)
+        d = dig_ref[j]
+        sel = tab_scr[pl.ds(d * CHP, CHP), :]
+        return mul(acc, sel)
+
+    o_ref[...] = lax.fori_loop(0, n_win, wbody, one)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "tb", "k", "CH"))
+def _exp_call(x, digits, vec, skc, E1, CS1, E2, CS2, one, *, window,
+              tb, k, CH):
+    CHP = vec.shape[0]
+    B = x.shape[1]
+    BP = -(-B // tb) * tb
+    if x.shape[0] != CHP or BP != B:
+        xp = jnp.zeros((CHP, BP), dtype=jnp.uint32)
+        x = lax.dynamic_update_slice(xp, x, (0, 0))
+    digits = jnp.asarray(digits, dtype=jnp.int32).reshape(-1)
+    bs = pl.BlockSpec((CHP, tb), lambda j, dig: (0, j),
+                      memory_space=pltpu.VMEM)
+    ws = lambda s: pl.BlockSpec(s, lambda j, dig: tuple(0 for _ in s),
+                                memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BP // tb,),
+        in_specs=[bs, ws(vec.shape), ws(skc.shape), ws(E1.shape),
+                  ws(CS1.shape), ws(E2.shape), ws(CS2.shape),
+                  ws(one.shape)],
+        out_specs=bs,
+        scratch_shapes=[
+            pltpu.VMEM(((1 << window) * CHP, tb), jnp.uint32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_rns_exp_kernel, window=window, k=k, CH=CH),
+        out_shape=jax.ShapeDtypeStruct((CHP, BP), jnp.uint32),
+        grid_spec=grid_spec,
+        interpret=INTERPRET,
+    )(digits, x, vec, skc, E1, CS1, E2, CS2, one)
+    return out
+
+
+def rns_exp_shared_p(X, digits, base: RnsBase, key: RnsModulus,
+                     window: int | None = None, tb: int | None = None):
+    """Drop-in for rns.rns_exp_shared on TPU: X (CH, B) entered state,
+    digits (n_win,) MSB-first shared-exponent digits (window must match
+    the digit base).  Returns the (CH, B) state of c^e * M."""
+    p = pack(base.mbits, key.m)
+    if window is None:
+        window, tb = plan(base.CH)
+    tb = tb or tb_for(base.CH, window)
+    if tb is None:
+        raise ValueError(
+            f"rns_exp_shared_p: window {window} exceeds VMEM at CH={base.CH}")
+    B = X.shape[1]
+    out = _exp_call(X, digits, p["vec"], p["skc"], p["E1"], p["CS1"],
+                    p["E2"], p["CS2"], p["one"], window=window, tb=tb,
+                    k=base.k, CH=base.CH)
+    return out[:base.CH, :B]

@@ -1,0 +1,562 @@
+"""RNS-Montgomery modular arithmetic — the MXU-native modexp engine.
+
+Implements docs/RNS_DESIGN.md: big-integer values live as residues over
+two bases of 16-bit prime channels (B, B') plus one redundant channel
+(Shenoy-Kumaresan), so a modular multiplication is
+
+  * a handful of ELEMENTWISE channel passes (VPU) — no carries, no
+    O(L)-deep schoolbook convolution, and
+  * two constant-matrix base extensions (MXU matmuls with shared
+    weights) — the quadratic term of positional-limb arithmetic moved
+    onto the systolic array.
+
+This replaces the VPU schoolbook product that bounds the positional-limb
+kernels (ops/pallas_mont*.py) for the CRT-decrypt exponentiation — the
+role the reference delegates to IPP-Crypto's ``mbx_exp_mb8`` inside
+``ipcl::PrivateKey::decrypt`` (/root/reference/README.md:32).
+
+Number-system conventions
+-------------------------
+* Channels: distinct odd 16-bit primes.  Base B = k channels, base
+  B' = k channels, one redundant channel m_r.  State arrays are
+  uint32[CH, batch] with CH = 2k+1, rows ordered [B | B' | m_r].
+* Channel arithmetic is channel-Montgomery: a stored value X represents
+  x with X = x * 2^16 mod m_ch; products use 16-bit REDC (no mulhi, no
+  pseudo-Mersenne constraint on the primes).
+* One RNS-Montgomery multiplication maps (x, y) -> x*y*M^-1 (mod m),
+  where M = prod(B) is the Montgomery radix.  Values stay < (k+2)*m
+  (asserted via M >= (k+2)^2 * m at construction); the first base
+  extension is Bajard-fast (offset tolerated), the second is
+  Shenoy-Kumaresan exact via the redundant channel.
+* Base extensions contract 16-bit digits against 16-bit constant
+  matrices byte-decomposed into plane matmuls whose int32 accumulators
+  provably fit (asserted); plane recombination costs two channel REDCs,
+  so matmul outputs carry a 2^-32 scale folded into the next constants.
+
+The global matrices (extension, enter, exit) depend only on the base
+configuration — they are shared across keys and across the p/q CRT
+halves.  Per-key state is a handful of (CH,) constant vectors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial, lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .limb import (
+    LIMB_BITS, LIMB_DTYPE, int_to_limbs, limbs_for_bits, normalize,
+    sub_mod_base,
+)
+from . import montgomery as mg
+
+MASK16 = 0xFFFF
+
+
+# ---------------------------------------------------------------------------
+# Host-side construction.
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=1)
+def _primes_desc():
+    """All primes below 2^16, largest first (numpy sieve)."""
+    limit = 1 << 16
+    s = np.ones(limit, dtype=bool)
+    s[:2] = False
+    for i in range(2, 256):
+        if s[i]:
+            s[i * i::i] = False
+    return [int(p) for p in np.nonzero(s)[0][::-1]]
+
+
+def _channels_for(mbits: int):
+    """Pick k and the channel lists for a modulus of `mbits` bits.
+
+    Requires M >= (k+2)^2 * 2^mbits (closure bound for the fast first
+    extension with inputs < (k+2)m) and symmetrically for M'."""
+    primes = _primes_desc()
+    logM = 0.0
+    k = 0
+    # interleave so M and M' stay balanced
+    while True:
+        k += 1
+        need = mbits + 2 * (k + 2).bit_length()
+        logMk = sum(float(np.log2(primes[2 * i])) for i in range(k))
+        if logMk >= need + 1:
+            break
+    mods_B = [primes[2 * i] for i in range(k)]
+    mods_Bp = [primes[2 * i + 1] for i in range(k)]
+    m_r = primes[2 * k]
+    M = 1
+    for p in mods_B:
+        M *= p
+    Mp = 1
+    for p in mods_Bp:
+        Mp *= p
+    assert M >= (k + 2) ** 2 << mbits and Mp >= (k + 2) ** 2 << mbits
+    assert m_r > 2 * (k + 2)
+    return k, mods_B, mods_Bp, m_r, M, Mp
+
+
+def _byte_planes(mat: np.ndarray):
+    """(out, k) uint32 16-bit entries -> two int32 byte-plane matrices."""
+    lo = (mat & 0xFF).astype(np.int32)
+    hi = (mat >> 8).astype(np.int32)
+    return lo, hi
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class RnsBase:
+    """Key-independent RNS configuration for moduli up to 2^mbits."""
+
+    mbits: int
+    k: int
+    M: int                   # prod(B)  (static aux — Python int)
+    Mp: int                  # prod(B')
+    m_r: int
+    mods_B_int: tuple        # python ints, aux
+    mods_Bp_int: tuple
+    # device arrays (children)
+    mods: jnp.ndarray        # (CH, 1) uint32 channel moduli [B | B' | m_r]
+    n0: jnp.ndarray          # (CH, 1) uint32 = -m^-1 mod 2^16
+    w15: jnp.ndarray         # (CH, 1) |2^15|_m  (plane-combine hi fold)
+    # first extension  xi(B) -> q_hat(B' + m_r):  (k+1, k) byte planes
+    C1_lo: jnp.ndarray
+    C1_hi: jnp.ndarray
+    # second extension xi'(B') -> r_hat(B + m_r): (k+1, k) byte planes
+    C2_lo: jnp.ndarray
+    C2_hi: jnp.ndarray
+    # exit: limbs of M/m_i:  (L_M, k) byte planes
+    W_lo: jnp.ndarray
+    W_hi: jnp.ndarray
+    K1g: jnp.ndarray         # (k, 1) |(M/m_i)^-1|_{m_i}   (true-form xi mult)
+    K2g: jnp.ndarray         # (k, 1) |(M'/m'_j)^-1|_{m'_j}
+    exit_c: jnp.ndarray      # (3, 1): [|2^48 M^-1|, |M^-1 2^16|, 1]_{m_r}
+
+    def tree_flatten(self):
+        children = (self.mods, self.n0, self.w15, self.C1_lo, self.C1_hi,
+                    self.C2_lo, self.C2_hi, self.W_lo, self.W_hi,
+                    self.K1g, self.K2g, self.exit_c)
+        aux = (self.mbits, self.k, self.M, self.Mp, self.m_r,
+               self.mods_B_int, self.mods_Bp_int)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*aux, *children)
+
+    @property
+    def CH(self):
+        return 2 * self.k + 1
+
+    @property
+    def L_W(self):
+        return limbs_for_bits(self.M.bit_length()) + 1
+
+    @classmethod
+    @lru_cache(maxsize=8)
+    def for_bits(cls, mbits: int) -> "RnsBase":
+        k, mods_B, mods_Bp, m_r, M, Mp = _channels_for(mbits)
+        CH = 2 * k + 1
+        all_mods = mods_B + mods_Bp + [m_r]
+        mods = np.array(all_mods, dtype=np.uint32)[:, None]
+        n0 = np.array([(-pow(m, -1, 1 << 16)) % (1 << 16)
+                       for m in all_mods], dtype=np.uint32)[:, None]
+        w15 = np.array([(1 << 15) % m for m in all_mods],
+                       dtype=np.uint32)[:, None]
+        # C1[j, i] = (M/m_i) mod target_j, targets = B' ++ [m_r]
+        tgt1 = mods_Bp + [m_r]
+        C1 = np.zeros((k + 1, k), dtype=np.uint32)
+        for i, mi in enumerate(mods_B):
+            Mi = M // mi
+            for j, mj in enumerate(tgt1):
+                C1[j, i] = Mi % mj
+        # C2[j, i] = (M'/m'_i) mod target_j, targets = B ++ [m_r]
+        tgt2 = mods_B + [m_r]
+        C2 = np.zeros((k + 1, k), dtype=np.uint32)
+        for i, mi in enumerate(mods_Bp):
+            Mi = Mp // mi
+            for j, mj in enumerate(tgt2):
+                C2[j, i] = Mi % mj
+        # W[l, i] = limb l of M/m_i; one extra headroom limb so the
+        # carry-save accumulation of r_hat < k*M never sheds a top carry
+        L_W = limbs_for_bits(M.bit_length()) + 1
+        W = np.zeros((L_W, k), dtype=np.uint32)
+        for i, mi in enumerate(mods_B):
+            W[:, i] = int_to_limbs(M // mi, L_W)
+        K1g = np.array([pow((M // mi) % mi, -1, mi)
+                        for mi in mods_B], dtype=np.uint32)[:, None]
+        K2g = np.array([pow((Mp // mj) % mj, -1, mj)
+                        for mj in mods_Bp], dtype=np.uint32)[:, None]
+        # SK-offset constants (redundant channel): the second extension
+        # reconstructs modulo M' = prod(B'), so these invert M'.
+        exit_c = np.array([
+            (1 << 48) % m_r * pow(Mp % m_r, -1, m_r) % m_r,
+            pow(Mp % m_r, -1, m_r),
+            1,
+        ], dtype=np.uint32)[:, None]
+        # int32 plane-accumulator bounds (see _combine_planes): the mid
+        # plane is split at 2^23, so we need k (or L at enter) below
+        # 2^25 / (2*255*255) and S00 + (lo<<8) < 2^31 + 2^25.
+        assert 2 * k * 255 * 255 < (1 << 25)
+        j = lambda a: jnp.asarray(a)
+        C1_lo, C1_hi = _byte_planes(C1)
+        C2_lo, C2_hi = _byte_planes(C2)
+        W_lo, W_hi = _byte_planes(W)
+        return cls(mbits, k, M, Mp, m_r, tuple(mods_B), tuple(mods_Bp),
+                   j(mods), j(n0), j(w15), j(C1_lo), j(C1_hi), j(C2_lo),
+                   j(C2_hi), j(W_lo), j(W_hi), j(K1g), j(K2g), j(exit_c))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class RnsModulus:
+    """Per-(key, modulus) constant vectors for one CRT half (m = p^2).
+
+    All channel constants are folded with the powers of 2^16 introduced
+    by channel-REDC so that every step lands on the documented scale
+    (module docstring); R below is the positional-limb Montgomery radix
+    of the companion MontCtx (2^(16 L_h))."""
+
+    m: int                   # aux (python int)
+    K1: jnp.ndarray          # (k, 1)  |-m^-1 (M/m_i)^-1|_{m_i}
+    u5: jnp.ndarray          # (k+1, 1) |M^-1 2^16|   on B' ++ m_r
+    v5: jnp.ndarray          # (k+1, 1) |m M^-1 2^64| on B' ++ m_r
+    w9a: jnp.ndarray         # (k, 1)  |M' 2^-16|_{m_i}
+    w9b: jnp.ndarray         # (k, 1)  |2^64|_{m_i}
+    y_enter: jnp.ndarray     # (CH, 1) ch-Mont residues of M^2 R^-1 mod m
+    c_enter: jnp.ndarray     # (CH, 1) |2^64|_{m_ch}  (enter scale fix)
+    K3: jnp.ndarray          # (k, 1) = base.K1g (exit xi)
+    k4_limbs: jnp.ndarray    # (L, 1) |R^3 M^-1|_m  (exit Montgomery fold)
+
+    def tree_flatten(self):
+        return (self.K1, self.u5, self.v5, self.w9a, self.w9b,
+                self.y_enter, self.c_enter, self.K3, self.k4_limbs), (self.m,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], *children)
+
+    @classmethod
+    def build(cls, base: RnsBase, m: int, L: int) -> "RnsModulus":
+        assert m.bit_length() <= base.mbits and m % 2 == 1
+        v = modulus_vectors(base.mbits, m)
+        R = 1 << (LIMB_BITS * L)
+        M = base.M
+        y = M * M % m * pow(R, -1, m) % m
+        all_mods = (list(base.mods_B_int) + list(base.mods_Bp_int)
+                    + [base.m_r])
+        y_enter = np.array([(y % mc) * (1 << 16) % mc for mc in all_mods],
+                           dtype=np.uint32)[:, None]
+        c_enter = np.array([pow(2, 64, mc) for mc in all_mods],
+                           dtype=np.uint32)[:, None]
+        k4 = pow(R, 3, m) * pow(M % m, -1, m) % m
+        j = lambda a: jnp.asarray(a)
+        return cls(m, j(v["K1"]), j(v["u5"]), j(v["v5"]), j(v["w9a"]),
+                   j(v["w9b"]), j(y_enter), j(c_enter), base.K1g,
+                   j(int_to_limbs(k4, L)[:, None]))
+
+
+@lru_cache(maxsize=32)
+def modulus_vectors(mbits: int, m: int) -> dict:
+    """Per-(base, m) channel constant vectors as NUMPY arrays (host).
+
+    Shared by RnsModulus.build and the Pallas kernel packer — the latter
+    runs at trace time where the pytree leaves are tracers, so constants
+    must be rebuilt from the static ints (mbits, m)."""
+    base = RnsBase.for_bits(mbits)
+    k, M, Mp, m_r = base.k, base.M, base.Mp, base.m_r
+    mods_B, mods_Bp = base.mods_B_int, base.mods_Bp_int
+    minv_M = [(-pow(m, -1, mi)) % mi for mi in mods_B]
+    K1 = np.array([minv_M[i] * pow((M // mi) % mi, -1, mi) % mi
+                   for i, mi in enumerate(mods_B)],
+                  dtype=np.uint32)[:, None]
+    tgt = list(mods_Bp) + [m_r]
+    u5 = np.array([pow(M % mj, -1, mj) * (1 << 16) % mj for mj in tgt],
+                  dtype=np.uint32)[:, None]
+    v5 = np.array([(m % mj) * pow(M % mj, -1, mj) % mj
+                   * pow(2, 64, mj) % mj for mj in tgt],
+                  dtype=np.uint32)[:, None]
+    w9a = np.array([(Mp % mi) * pow(1 << 16, -1, mi) % mi
+                    for mi in mods_B], dtype=np.uint32)[:, None]
+    w9b = np.array([pow(2, 64, mi) for mi in mods_B],
+                   dtype=np.uint32)[:, None]
+    return {"K1": K1, "u5": u5, "v5": v5, "w9a": w9a, "w9b": w9b}
+
+
+# ---------------------------------------------------------------------------
+# Channel primitives (elementwise, uint32).
+# ---------------------------------------------------------------------------
+
+def _cmul(a, b, mods, n0):
+    """Channel product with 16-bit REDC: a*b*2^-16 mod m, output < m.
+
+    a, b < 2^16 (so the uint32 product is exact); mods/n0 broadcast."""
+    t = a * b
+    u = ((t & MASK16) * n0) & MASK16
+    um = u * mods
+    # (t + um) / 2^16 without the 33-bit intermediate
+    r = (t >> 16) + (um >> 16) + (((t & MASK16) + (um & MASK16)) >> 16)
+    return jnp.where(r >= mods, r - mods, r)
+
+
+def _redc(t, mods, n0):
+    """t * 2^-16 mod m for any uint32 t; output < m (two cond-subs)."""
+    u = ((t & MASK16) * n0) & MASK16
+    um = u * mods
+    r = (t >> 16) + (um >> 16) + (((t & MASK16) + (um & MASK16)) >> 16)
+    r = jnp.where(r >= mods, r - mods, r)
+    return jnp.where(r >= mods, r - mods, r)
+
+
+def _submod(a, b, mods):
+    """(a - b) mod m for a, b < m."""
+    return jnp.where(a >= b, a - b, a + mods - b)
+
+
+def _addmod(a, b, mods):
+    r = a + b
+    return jnp.where(r >= mods, r - mods, r)
+
+
+def _plane_dots(x, W_lo, W_hi):
+    """Byte-plane matmuls: x (k_in, B) uint32 16-bit values against the
+    (out, k_in) byte planes.  Returns S00, mid, S11 int32 (out, B).
+
+    Runs as CENTERED int8 matmuls so the contraction rides the MXU
+    (int8 x int8 -> int32): with x' = x - 128 and w' = w - 128,
+    sum(x*w) = dot(x', w') + 128*sum(x') + 128*sum(w') + 128^2*k — the
+    corrections are a per-column scalar (one VPU reduction), a
+    per-row constant (folds at trace time), and a literal.  Exact: every
+    int8 product sums over k_in < 2^9 terms, |dot| < 2^23 < int32."""
+    k_in = x.shape[0]
+    x0 = (x & 0xFF).astype(jnp.int32)
+    x1 = (x >> 8).astype(jnp.int32)
+    x0c = (x0 - 128).astype(jnp.int8)
+    x1c = (x1 - 128).astype(jnp.int8)
+    Wl = (W_lo - 128).astype(jnp.int8)
+    Wh = (W_hi - 128).astype(jnp.int8)
+    cl = jnp.sum(W_lo - 128, axis=1, keepdims=True)      # (out, 1) int32
+    chi = jnp.sum(W_hi - 128, axis=1, keepdims=True)
+    s0 = jnp.sum(x0, axis=0, keepdims=True) - 128 * k_in  # (1, B) = sum x0'
+    s1 = jnp.sum(x1, axis=0, keepdims=True) - 128 * k_in
+    dot = partial(lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
+                  preferred_element_type=jnp.int32)
+    off = 128 * 128 * k_in
+    S00 = dot(Wl, x0c) + 128 * s0 + 128 * cl + off
+    S11 = dot(Wh, x1c) + 128 * s1 + 128 * chi + off
+    mid = (dot(Wl, x1c) + dot(Wh, x0c)
+           + 128 * (s0 + s1) + 128 * (cl + chi) + 2 * off)
+    return S00, mid, S11
+
+
+def _combine_planes(S00, mid, S11, mods, n0, w15):
+    """Byte-plane sums -> (true value)*2^-32 mod m, < m.
+
+    A = S00 + 2^8*mid + 2^16*S11 (the exact integer dot product); the
+    mid plane splits at 2^23 so every int32 intermediate fits:
+    A*2^-16 === redc(S00 + lo<<8) + hi*|2^15| + S11 (mod m), then one
+    more REDC gives the 2^-32-scaled canonical output."""
+    lo = (mid & ((1 << 23) - 1)).astype(jnp.uint32)
+    hi = (mid >> 23).astype(jnp.uint32)
+    t = S00.astype(jnp.uint32) + (lo << 8)
+    v = _redc(t, mods, n0) + hi * w15 + S11.astype(jnp.uint32)
+    return _redc(v, mods, n0)
+
+
+# ---------------------------------------------------------------------------
+# The RNS-Montgomery multiplication.
+# ---------------------------------------------------------------------------
+
+def rns_mont_mul(X, Y, base: RnsBase, key: RnsModulus):
+    """One RNS-Montgomery product: states (CH, B) -> state of x*y*M^-1.
+
+    Inputs/outputs are channel-Montgomery residues of values < (k+2)m.
+    Steps (docs/RNS_DESIGN.md sketch, with SK exact second extension):
+    channel square/mul; xi on B; MXU-extend to B'+m_r; r' on B'+m_r;
+    xi' on B'; MXU-extend back; SK offset from the redundant channel."""
+    k = base.k
+    mods, n0 = base.mods, base.n0
+    mB, n0B = mods[:k], n0[:k]
+    mT, n0T, w15T = mods[k:], n0[k:], base.w15[k:]      # B' ++ m_r
+    mR, n0R = mods[2 * k:], n0[2 * k:]
+
+    S = _cmul(X, Y, mods, n0)                           # ch-Mont(s), CH rows
+    xi = _cmul(S[:k], key.K1, mB, n0B)                  # true xi, B rows
+    S00, mid, S11 = _plane_dots(xi, base.C1_lo, base.C1_hi)
+    Q = _combine_planes(S00, mid, S11, mT, n0T, w15T)   # q_hat * 2^-32
+    Rp = _addmod(_cmul(S[k:], key.u5, mT, n0T),
+                 _cmul(Q, key.v5, mT, n0T), mT)         # ch-Mont(r'), B'+m_r
+    xip = _cmul(Rp[:k], base.K2g, mods[k:2 * k], n0[k:2 * k])
+    T00, tmid, T11 = _plane_dots(xip, base.C2_lo, base.C2_hi)
+    tgt_m = jnp.concatenate([mB, mR], axis=0)
+    tgt_n0 = jnp.concatenate([n0B, n0R], axis=0)
+    tgt_w15 = jnp.concatenate([base.w15[:k], base.w15[2 * k:]], axis=0)
+    Zh = _combine_planes(T00, tmid, T11, tgt_m, tgt_n0, tgt_w15)
+    # SK offset from the redundant channel: delta = (r_hat - r') * M'^-1
+    a = _cmul(Zh[k:], base.exit_c[0:1], mR, n0R)        # r_hat * M'^-1
+    b = _cmul(Rp[k:], base.exit_c[1:2], mR, n0R)        # r'    * M'^-1
+    delta = _submod(a, b, mR)                           # true, < k
+    t2 = _cmul(jnp.broadcast_to(delta, (k, delta.shape[1])), key.w9a,
+               mB, n0B)                                 # delta*M'*2^-32
+    d = _submod(Zh[:k], t2, mB)
+    Z = _cmul(d, key.w9b, mB, n0B)                      # ch-Mont, B rows
+    return jnp.concatenate([Z, Rp], axis=0)
+
+
+def rns_enter(v_limbs, base: RnsBase, key: RnsModulus):
+    """(L, B) positional limbs of v = c*R (Montgomery-limb form, < 2m)
+    -> RNS state of c*M (one residue matmul + one RNS product)."""
+    L = v_limbs.shape[0]
+    P_lo, P_hi = _enter_planes(base, L)
+    S00, mid, S11 = _plane_dots(v_limbs, P_lo, P_hi)
+    V = _combine_planes(S00, mid, S11, base.mods, base.n0, base.w15)
+    V = _cmul(V, key.c_enter, base.mods, base.n0)       # ch-Mont(v)
+    return rns_mont_mul(V, jnp.broadcast_to(key.y_enter, V.shape),
+                        base, key)
+
+
+@lru_cache(maxsize=16)
+def _enter_planes_np(base_key, L):
+    base = RnsBase.for_bits(base_key)
+    all_mods = (list(base.mods_B_int) + list(base.mods_Bp_int)
+                + [base.m_r])
+    P = np.zeros((base.CH, L), dtype=np.uint32)
+    for c, mc in enumerate(all_mods):
+        for l in range(L):
+            P[c, l] = pow(2, 16 * l, mc)
+    # cache NUMPY planes: a jnp array materialized inside a jit trace
+    # is a tracer and must never be cached across traces
+    return _byte_planes(P)
+
+
+def _enter_planes(base: RnsBase, L: int):
+    return _enter_planes_np(base.mbits, L)
+
+
+def rns_exit(Z, base: RnsBase, key: RnsModulus, sq_ctx, L: int):
+    """RNS state of z~ = c^e * M (< (k+1)m) -> canonical limbs of
+    c^e mod m (Shenoy-Kumaresan CRT to limbs, then one positional
+    Montgomery fold by |R^3 M^-1| and a standard Montgomery exit)."""
+    k = base.k
+    mods, n0 = base.mods, base.n0
+    mR, n0R = mods[2 * k:], n0[2 * k:]
+    B = Z.shape[1]
+
+    xi = _cmul(Z[:k], base.K1g, mods[:k], n0[:k])       # true xi
+    # limb-plane matmul: r_hat = sum xi_i * (M/m_i)
+    S00, mid, S11 = _plane_dots(xi, base.W_lo, base.W_hi)
+    lo = (mid & ((1 << 23) - 1)).astype(jnp.uint32)
+    hi = (mid >> 23).astype(jnp.uint32)
+    zrow = jnp.zeros((1, B), dtype=LIMB_DTYPE)
+    up = lambda x: jnp.concatenate([zrow, x[:-1]], axis=0)
+    r_hat = normalize(S00.astype(jnp.uint32) + (lo << 8)
+                      + up((hi << 15) + S11.astype(jnp.uint32)))
+    # r_hat mod m_r via the C1 redundant row (contraction over k)
+    c1r_lo = base.C1_lo[k:k + 1]
+    c1r_hi = base.C1_hi[k:k + 1]
+    R00, rmid, R11 = _plane_dots(xi, c1r_lo, c1r_hi)
+    rr = _combine_planes(R00, rmid, R11, mR, n0R, base.w15[2 * k:])
+    rr = _cmul(rr, _c48(base), mR, n0R)                 # true r_hat mod m_r
+    z_r = _cmul(Z[2 * k:], base.exit_c[2:3], mR, n0R)   # true z~ mod m_r
+    diff = _submod(rr, z_r, mR)
+    delta = _cmul(diff, _cMinv16(base), mR, n0R)        # true delta, < k
+    dM = normalize(_M_limbs(base) * delta)              # (L_M, B)
+    z_limbs = sub_mod_base(r_hat, dM)                   # exact, z~ < kM
+    t = mg.mont_reduce_wide(z_limbs, sq_ctx)            # z~ * R^-1, < 2m
+    u = mg.mont_mul(t, key.k4_limbs, sq_ctx)            # c^e * R (Mont form)
+    return mg.from_mont(u, sq_ctx)                      # canonical < m
+
+
+@lru_cache(maxsize=8)
+def _c48_np(mbits):
+    base = RnsBase.for_bits(mbits)
+    return np.array([[pow(2, 48, base.m_r)]], dtype=np.uint32)
+
+
+def _c48(base):
+    return _c48_np(base.mbits)
+
+
+@lru_cache(maxsize=8)
+def _cMinv16_np(mbits):
+    base = RnsBase.for_bits(mbits)
+    v = pow(base.M % base.m_r, -1, base.m_r) * (1 << 16) % base.m_r
+    return np.array([[v]], dtype=np.uint32)
+
+
+def _cMinv16(base):
+    return _cMinv16_np(base.mbits)
+
+
+@lru_cache(maxsize=8)
+def _M_limbs_np(mbits):
+    base = RnsBase.for_bits(mbits)
+    return int_to_limbs(base.M, base.L_W)[:, None]
+
+
+def _M_limbs(base):
+    return _M_limbs_np(base.mbits)
+
+
+# ---------------------------------------------------------------------------
+# Shared-exponent modexp over RNS states (the CRT-decrypt hot chain).
+# ---------------------------------------------------------------------------
+
+def rns_one_state(base: RnsBase, key: RnsModulus, B: int):
+    """Ch-Mont RNS state of M mod m (the RNS-Montgomery rep of 1)."""
+    all_mods = (list(base.mods_B_int) + list(base.mods_Bp_int)
+                + [base.m_r])
+    Mm = base.M % key.m
+    arr = np.array([(Mm % mc) * (1 << 16) % mc for mc in all_mods],
+                   dtype=np.uint32)[:, None]
+    return jnp.broadcast_to(arr, (base.CH, B))
+
+
+def rns_exp_shared(X, digits, base: RnsBase, key: RnsModulus,
+                   window: int):
+    """X^e * M-domain chain: X is the entered state (value c*M); digits
+    are the shared exponent's MSB-first base-2^window digits (traced).
+    Returns the state of c^e * M.
+
+    On TPU this dispatches to the VMEM-resident Pallas kernel
+    (ops/pallas_rns.py); the jnp body below is the CPU/verification
+    path (bit-identical)."""
+    if mg._on_tpu():
+        from . import pallas_rns
+        if pallas_rns.tb_for(base.CH, window):
+            return pallas_rns.rns_exp_shared_p(X, digits, base, key,
+                                               window)
+    B = X.shape[1]
+    tsize = 1 << window
+    entries = [rns_one_state(base, key, B), X]
+    for _ in range(tsize - 2):
+        entries.append(rns_mont_mul(entries[-1], X, base, key))
+    table = jnp.stack(entries, axis=0)                  # (tsize, CH, B)
+    n_win = digits.shape[0]
+
+    def body(j, acc):
+        for _ in range(window):
+            acc = rns_mont_mul(acc, acc, base, key)
+        d = lax.dynamic_slice_in_dim(digits, j, 1, axis=0)[0].astype(
+            jnp.int32)
+        t = lax.dynamic_index_in_dim(table, d, axis=0, keepdims=False)
+        return rns_mont_mul(acc, t, base, key)
+
+    acc0 = table[0]
+    return lax.fori_loop(0, n_win, body, acc0)
+
+
+@partial(jax.jit, static_argnames=("window", "L"))
+def rns_crt_exp_half(v_limbs, digits, base: RnsBase, key: RnsModulus,
+                     sq_ctx, window: int, L: int):
+    """One CRT half end-to-end: Montgomery-limb ciphertexts (L, B) ->
+    canonical c^e mod m limbs, entirely in RNS between enter and exit."""
+    X = rns_enter(v_limbs, base, key)
+    Z = rns_exp_shared(X, digits, base, key, window)
+    return rns_exit(Z, base, key, sq_ctx, L)

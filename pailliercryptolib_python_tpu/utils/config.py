@@ -52,6 +52,23 @@ class Config:
     # never batches this wide (per-element Python loops,
     # ipcl_python.py:829-880) so it pays time instead.
     matmul_chunk_columns: int = _env_int("PAILLIER_MATMUL_CHUNK", 1 << 15)
+    # CRT-decrypt number system: "rns" (RNS-Montgomery, ops/rns.py),
+    # "limb" (positional-limb kernels), or "auto" (rns — both are exact;
+    # the knob exists to A/B and to fall back if a platform misbehaves).
+    decrypt_engine: str = os.environ.get("PAILLIER_DECRYPT_ENGINE", "auto")
+    # fixed window for the RNS shared-exponent chain (table = 2^w states)
+    rns_exp_window: int = _env_int("PAILLIER_RNS_WINDOW", 5)
+    # Fixed-shape ct*pt: pad every plaintext exponent to the full mod-n
+    # window count and run the negative-column inversion pass over the
+    # WHOLE batch unconditionally, so device timing is independent of
+    # plaintext magnitude and sign (closes the timing side channel of
+    # the leading-zero-window skip / flagged-column gather; the
+    # reference's Python layer leaks the same way).  Costs ~the full
+    # modexp even for small plaintexts plus one batch inversion per mul.
+    fixed_shape_ops: bool = os.environ.get("PAILLIER_FIXED_SHAPE") == "1"
+    # device-batched base-2 Miller-Rabin in keygen: "auto" (TPU and
+    # >=1024-bit candidates), "1" (always), "0" (host-only)
+    keygen_device: str = os.environ.get("PAILLIER_KEYGEN_DEVICE", "auto")
     mesh_hosts: int | None = None
     mesh_chips: int | None = None
 

@@ -281,3 +281,26 @@ def test_context_and_hybrid_shims():
     assert hybridControl.getHybridMode() == hybridMode.HALF
     hybridControl.setHybridOff()
     assert hybridControl.getHybridMode() == hybridMode.IPP
+
+
+def test_fixed_shape_mode_matches(keys):
+    """PAILLIER_FIXED_SHAPE mode (constant-time ct*pt): identical
+    results, shape-independent program (full window count + whole-batch
+    inversion select)."""
+    import numpy as np
+    from pailliercryptolib_python_tpu.utils import config as cfg
+
+    pk, sk = keys
+    x = np.array([1.5, -2.0, 3.25, 1000.0])
+    y = np.array([2.0, -7.5, 0.5, -1.0])
+    ct = pk.encrypt(x)
+    want = sk.decrypt(ct * y)
+    cfg.set_config(fixed_shape_ops=True)
+    try:
+        got = sk.decrypt(ct * y)
+        got_s = sk.decrypt(ct * 3.5)
+    finally:
+        cfg.set_config(fixed_shape_ops=False)
+    assert np.allclose(got, want)
+    assert np.allclose(got, x * y, atol=1e-9)
+    assert np.allclose(got_s, x * 3.5, atol=1e-9)

@@ -145,3 +145,36 @@ def test_crt_half_split_path(key256):
         priv.Lh, priv.Lq, pub.Ln)
     from pailliercryptolib_python_tpu.ops.limb import limbs_to_ints
     assert limbs_to_ints(np_.asarray(m))[:B] == msgs
+
+
+def test_device_mr_base2_matches_host():
+    """Device-batched base-2 Miller-Rabin == the host _mr_round oracle,
+    prime and composite candidates mixed, 512-bit."""
+    import random
+    from pailliercryptolib_python_tpu.models import paillier as sch
+
+    rng = random.Random(9)
+    cands = [sch.generate_prime(512) for _ in range(3)]
+    while len(cands) < 11:
+        c = rng.getrandbits(512) | 1 | (1 << 511)
+        cands.append(c)
+    got = sch.device_mr_base2(cands)
+    for c, g in zip(cands, got):
+        d, r = c - 1, 0
+        while d % 2 == 0:
+            d //= 2
+            r += 1
+        assert bool(g) == sch._mr_round(c, d, r, 2), hex(c)
+
+
+def test_generate_prime_bulk_path():
+    """generate_prime with the device-batched pre-test forced on."""
+    from pailliercryptolib_python_tpu.models import paillier as sch
+    from pailliercryptolib_python_tpu.utils import config as cfg
+
+    cfg.set_config(keygen_device="1")
+    try:
+        p = sch.generate_prime(256)
+    finally:
+        cfg.set_config(keygen_device="auto")
+    assert p.bit_length() == 256 and sch.is_probable_prime(p)

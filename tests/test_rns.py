@@ -1,0 +1,175 @@
+"""Oracle ladder for the RNS-Montgomery engine (ops/rns.py).
+
+Every level is validated against Python-int arithmetic: channel
+primitives -> one RNS-Montgomery product (exact value reconstructed by
+CRT over ALL channels, so base-extension offsets are visible) -> chained
+products (bound closure) -> enter/exit -> full shared-exponent modexp
+against pow().  docs/RNS_DESIGN.md is the design; a wrong SK offset or
+extension constant shows up here as a wrong CRT value, not just a wrong
+residue.
+"""
+
+import random
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from pailliercryptolib_python_tpu.ops import rns
+from pailliercryptolib_python_tpu.ops import montgomery as mg
+from pailliercryptolib_python_tpu.ops.limb import (
+    ints_to_limbs, LIMB_BITS)
+
+rng = random.Random(4242)
+
+
+def _all_mods(base):
+    return list(base.mods_B_int) + list(base.mods_Bp_int) + [base.m_r]
+
+
+def state_from_ints(xs, base):
+    """Exact channel-Montgomery RNS states for a list of values."""
+    mods = _all_mods(base)
+    arr = np.zeros((base.CH, len(xs)), dtype=np.uint32)
+    for c, m in enumerate(mods):
+        for b, x in enumerate(xs):
+            arr[c, b] = (x % m) * (1 << 16) % m
+    return jnp.asarray(arr)
+
+
+def ints_from_state(X, base):
+    """Exact values via CRT over ALL channels (unique below M*M'*m_r)."""
+    mods = _all_mods(base)
+    P = 1
+    for m in mods:
+        P *= m
+    X = np.asarray(X)
+    out = []
+    for b in range(X.shape[1]):
+        acc = 0
+        for c, m in enumerate(mods):
+            res = int(X[c, b]) * pow(1 << 16, -1, m) % m
+            Pi = P // m
+            acc = (acc + res * Pi * pow(Pi % m, -1, m)) % P
+        out.append(acc)
+    return out
+
+
+def test_channel_primitives():
+    base = rns.RnsBase.for_bits(256)
+    mods = _all_mods(base)
+    CH = base.CH
+    a = np.array([[rng.randrange(m) for _ in range(8)] for m in mods],
+                 dtype=np.uint32)
+    b = np.array([[rng.randrange(m) for _ in range(8)] for m in mods],
+                 dtype=np.uint32)
+    got = np.asarray(rns._cmul(jnp.asarray(a), jnp.asarray(b),
+                               base.mods, base.n0))
+    for c, m in enumerate(mods):
+        inv16 = pow(1 << 16, -1, m)
+        for j in range(8):
+            assert got[c, j] == int(a[c, j]) * int(b[c, j]) * inv16 % m
+    # _redc on arbitrary uint32 values
+    t = np.array([[rng.randrange(1 << 32) for _ in range(8)]
+                  for _ in range(CH)], dtype=np.uint32)
+    got = np.asarray(rns._redc(jnp.asarray(t), base.mods, base.n0))
+    for c, m in enumerate(mods):
+        inv16 = pow(1 << 16, -1, m)
+        for j in range(8):
+            assert got[c, j] == int(t[c, j]) * inv16 % m
+            assert got[c, j] < m
+
+
+@pytest.mark.parametrize("mbits", [256, 512])
+def test_mont_mul_value_and_bound(mbits):
+    base = rns.RnsBase.for_bits(mbits)
+    m = 0
+    while m.bit_length() != mbits:
+        m = rng.getrandbits(mbits) | 1 | (1 << (mbits - 1))
+    key = rns.RnsModulus.build(base, m, (mbits + 2 + 15) // 16)
+    k = base.k
+    Minv = pow(base.M % m, -1, m)
+    xs = [rng.randrange(m) for _ in range(6)] + [0, 1]
+    ys = [rng.randrange(m) for _ in range(6)] + [m - 1, 1]
+    X = state_from_ints(xs, base)
+    Y = state_from_ints(ys, base)
+    Z = rns.rns_mont_mul(X, Y, base, key)
+    vals = ints_from_state(Z, base)
+    for x, y, v in zip(xs, ys, vals):
+        assert v % m == x * y * Minv % m, "congruence"
+        assert v < (k + 2) * m, "bound closure"
+
+
+def test_mont_mul_chain_stays_closed():
+    """50 chained squarings: outputs feed back in; the value bound and
+    the congruence must hold at every step (offset accumulation shows
+    up here if the SK correction or the fast-extension slack is wrong)."""
+    mbits = 256
+    base = rns.RnsBase.for_bits(mbits)
+    m = 0
+    while m.bit_length() != mbits:
+        m = rng.getrandbits(mbits) | 1 | (1 << (mbits - 1))
+    key = rns.RnsModulus.build(base, m, (mbits + 2 + 15) // 16)
+    k = base.k
+    Minv = pow(base.M % m, -1, m)
+    x = rng.randrange(m)
+    X = state_from_ints([x], base)
+    expect = x
+    for i in range(50):
+        X = rns.rns_mont_mul(X, X, base, key)
+        expect = expect * expect * Minv % m
+        v = ints_from_state(X, base)[0]
+        assert v % m == expect, f"step {i}"
+        assert v < (k + 2) * m, f"bound step {i}"
+
+
+def test_enter_exit_roundtrip():
+    mbits = 256
+    base = rns.RnsBase.for_bits(mbits)
+    from pailliercryptolib_python_tpu.utils.fixtures import fixed_key_ints
+    kd = fixed_key_ints(256)
+    m = kd["p"] * kd["p"]
+    L = (m.bit_length() + 2 + 15) // 16
+    sq_ctx = mg.MontCtx.for_modulus(m, min_bits=LIMB_BITS * L, mxu=False)
+    L = sq_ctx.num_limbs
+    key = rns.RnsModulus.build(base, m, L)
+    R = 1 << (LIMB_BITS * L)
+    cs = [rng.randrange(m) for _ in range(7)] + [1]
+    v = [c * R % m for c in cs]                 # Montgomery-limb form
+    v_limbs = jnp.asarray(ints_to_limbs(v, L))
+    X = rns.rns_enter(v_limbs, base, key)
+    vals = ints_from_state(X, base)
+    for c, val in zip(cs, vals):
+        assert val % m == c * base.M % m, "enter congruence"
+        assert val < (base.k + 2) * m, "enter bound"
+    out = np.asarray(rns.rns_exit(X, base, key, sq_ctx, L))
+    from pailliercryptolib_python_tpu.ops.limb import limbs_to_ints
+    got = limbs_to_ints(out)
+    for c, g in zip(cs, got):
+        assert g == c, "exit exact value"
+
+
+@pytest.mark.parametrize("ebits", [64, 200])
+def test_exp_shared_oracle(ebits):
+    mbits = 256
+    base = rns.RnsBase.for_bits(mbits)
+    from pailliercryptolib_python_tpu.utils.fixtures import fixed_key_ints
+    kd = fixed_key_ints(256)
+    m = kd["q"] * kd["q"]
+    L = (m.bit_length() + 2 + 15) // 16
+    sq_ctx = mg.MontCtx.for_modulus(m, min_bits=LIMB_BITS * L, mxu=False)
+    L = sq_ctx.num_limbs
+    key = rns.RnsModulus.build(base, m, L)
+    R = 1 << (LIMB_BITS * L)
+    e = rng.getrandbits(ebits) | (1 << (ebits - 1))
+    window = 4
+    n_win = -(-ebits // window)
+    digits = jnp.asarray(mg.exponent_digits([e], n_win, window)[:, 0])
+    cs = [rng.randrange(m) for _ in range(8)]
+    v_limbs = jnp.asarray(ints_to_limbs([c * R % m for c in cs], L))
+    out = np.asarray(rns.rns_crt_exp_half(v_limbs, digits, base, key,
+                                          sq_ctx, window, L))
+    from pailliercryptolib_python_tpu.ops.limb import limbs_to_ints
+    got = limbs_to_ints(out)
+    for c, g in zip(cs, got):
+        assert g == pow(c, e, m), "modexp oracle"

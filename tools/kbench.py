@@ -238,6 +238,22 @@ def cmd_expshared(args, rng):
         variants[f"expshared_v3_w{w}_tb{args.tb or pm3.tb_for(L)}"] = \
             lambda: pm3.mm3_exp_shared_p(base, dig, *w3, ctx.one, window=w,
                                          tb=args.tb)
+    if "rns" in args.variants:
+        # the RNS-Montgomery engine (ops/rns.py + pallas_rns kernel):
+        # enter once outside the timer, chain + SK exit + to_mont inside
+        # so the oracle sees the same Montgomery-form contract
+        from pailliercryptolib_python_tpu.ops import rns as rnsm
+        mb = -(-m.bit_length() // 64) * 64
+        rbase = rnsm.RnsBase.for_bits(mb)
+        rkey = rnsm.RnsModulus.build(rbase, m, L)
+        X = rnsm.rns_enter(base, rbase, rkey)
+        X.block_until_ready()
+
+        def run_rns():
+            Z = rnsm.rns_exp_shared(X, dig, rbase, rkey, w)
+            return mg.to_mont(rnsm.rns_exit(Z, rbase, rkey, ctx, L), ctx)
+
+        variants[f"expshared_rns_w{w}_k{rbase.k}"] = run_rns
     nmod = nw * (w + 1)
     run_variants(variants, oracle, B // 128, nmod, iters=3)
 
