@@ -257,6 +257,7 @@ class PublicContext:
         # windows for the plain-Paillier obfuscator exponent (= n)
         self._n_digits = None
         self._comb = None
+        self._rns_mul = None      # lazy (base, key, window) for ct*pt
 
     # -- lazily built per-key device tables --------------------------------
 
@@ -413,22 +414,73 @@ class PublicContext:
         """HE addition: ciphertext modmul mod n^2 (both Montgomery)."""
         return mg.mont_mul(a, b, self.ctx)
 
+    def _rns_mul_plan(self):
+        """(base, key, window) for the RNS ct*pt engine, or None when
+        disabled / the mod-n^2 channel count exceeds the kernel bounds.
+        Built lazily once per key."""
+        if self._rns_mul is None:
+            eng = _config.get_config().decrypt_engine
+            ok = eng in ("auto", "rns")
+            plan = False
+            if ok:
+                from ..ops import rns as _rns
+                from ..ops import pallas_rns as _prns
+                mbits_r = -(-(2 * self.bits + 2) // 64) * 64
+                if mbits_r <= 14000:    # k <= 900 channel-count bound
+                    base = _rns.RnsBase.for_bits(mbits_r)
+                    for w in (4, 3):
+                        if mg._on_tpu() and not _prns.tb_for(base.CH, w):
+                            continue
+                        key = _rns.RnsModulus.build(base, self.nsquare,
+                                                    self.L)
+                        plan = (base, key, w)
+                        break
+            self._rns_mul = plan
+        return self._rns_mul or None
+
     def mul_pt(self, ct: jnp.ndarray, exponents: list) -> jnp.ndarray:
         """HE ct*pt: ct^e per element.  exponents: list of B ints >= 0.
 
-        Digits are padded to the canonical mod-n window count and the
-        kernel skips leading zero windows, so small exponents (the common
+        Engine: RNS per-element chain (ops/rns.rns_pow_elem — the MXU
+        path) when the mod-n^2 channel count fits the kernel bounds,
+        else the positional-limb kernels.  Digits are padded to the
+        canonical mod-n window count and leading zero windows are
+        skipped (power-of-two bucketed), so small exponents (the common
         case after the negative-plaintext rewrite) cost proportionally.
         With config.fixed_shape_ops the skip is disabled: every call
         runs the full mod-n window count, so device time is independent
         of plaintext magnitude (timing side-channel hygiene).
         """
+        from ..ops import rns as _rns
+
         B = ct.shape[1]
         exps = list(exponents) + [0] * (B - len(exponents))
-        if _config.get_config().fixed_shape_ops:
+        fixed = _config.get_config().fixed_shape_ops
+        maxbits = max((int(e).bit_length() for e in exps), default=1)
+
+        # Engine choice: the RNS chain pays a fixed 2^w-2-mul table build
+        # + enter/exit, so tiny exponents (exponent-alignment factors,
+        # ~2^diff) stay on the limb path; >= 8 windows amortizes it.
+        rplan = self._rns_mul_plan()
+        if rplan is not None and not fixed \
+                and -(-maxbits // WINDOW) < 8:
+            rplan = None
+        if rplan is not None:
+            base, key, w = rplan
+            nw_full = -(-self.bits // w)
+            if fixed:
+                nw = nw_full
+            else:
+                needed = max(1, -(-maxbits // w))
+                nw = min(nw_full, max(4, 1 << max(0, needed - 1)
+                                      .bit_length()))
+            digits = mg.exponent_digits(exps, nw, w)
+            return _rns.rns_pow_elem(ct, jnp.asarray(digits), base, key,
+                                     self.ctx, w, self.L)
+
+        if fixed:
             n_win_needed = self.n_win_ct
         else:
-            maxbits = max((int(e).bit_length() for e in exps), default=1)
             n_win_needed = max(1, -(-maxbits // WINDOW))
         n_win_total = max(self.n_win_ct, n_win_needed)
         digits = mg.exponent_digits(exps, n_win_total, WINDOW)

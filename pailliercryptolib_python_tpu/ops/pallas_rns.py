@@ -53,6 +53,9 @@ def plan(CH: int) -> tuple:
 
 
 def tb_for(CH: int, window: int) -> int | None:
+    k = (CH - 1) // 2
+    if k > 900:      # exact-f32 MXU accumulation bound (rns.RnsBase)
+        return None
     CHP = _pad8(CH)
     rows = (1 << window) * CHP + 14 * CHP
     for tb in (128,):
@@ -255,6 +258,101 @@ def _exp_call(x, digits, vec, skc, E1, CS1, E2, CS2, one, *, window,
         interpret=INTERPRET,
     )(digits, x, vec, skc, E1, CS1, E2, CS2, one)
     return out
+
+
+def _rns_exp_elem_kernel(x_ref, dig_ref, vec_ref, skc_ref, e1_ref,
+                         cs1_ref, e2_ref, cs2_ref, one_ref, o_ref,
+                         tab_scr, *, window, k, CH):
+    """Per-element-exponent chain: digits arrive as a (n_win, TB) VMEM
+    block; window-table selection is a tsize-pass one-hot mask-select
+    (same approach as the positional per-element kernel,
+    pallas_mont3._mm3_exp_kernel)."""
+    CHP, TB = x_ref.shape
+    vec = vec_ref[...]
+    c = (vec[:, 0:1], vec[:, 1:2], vec[:, 2:3], vec[:, 3:4],
+         vec[:, 4:5], vec[:, 5:6], vec[:, 6:7], vec[:, 7:8],
+         skc_ref[...], e1_ref[...], cs1_ref[...], e2_ref[...],
+         cs2_ref[...])
+
+    def mul(x, y):
+        return _mul_val(x, y, c, k=k, CH=CH, CHP=CHP)
+
+    one = jnp.broadcast_to(one_ref[...], (CHP, TB))
+    base = x_ref[...]
+    tsize = 1 << window
+    tab_scr[0:CHP, :] = one
+    tab_scr[CHP:2 * CHP, :] = base
+    cur = base
+    for d in range(2, tsize):
+        cur = mul(cur, base)
+        tab_scr[d * CHP:(d + 1) * CHP, :] = cur
+
+    n_win = dig_ref.shape[0]
+
+    def wbody(j, acc):
+        for _ in range(window):
+            acc = mul(acc, acc)
+        d = dig_ref[pl.ds(j, 1), :]                     # (1, TB)
+        sel = one
+        for t in range(1, tsize):
+            ent = tab_scr[t * CHP:(t + 1) * CHP, :]
+            sel = jnp.where(d == t, ent, sel)
+        return mul(acc, sel)
+
+    o_ref[...] = lax.fori_loop(0, n_win, wbody, one)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "tb", "k", "CH"))
+def _exp_elem_call(x, digits, vec, skc, E1, CS1, E2, CS2, one, *,
+                   window, tb, k, CH):
+    CHP = vec.shape[0]
+    B = x.shape[1]
+    BP = -(-B // tb) * tb
+    if x.shape[0] != CHP or BP != B:
+        xp = jnp.zeros((CHP, BP), dtype=jnp.uint32)
+        x = lax.dynamic_update_slice(xp, x, (0, 0))
+    n_win = digits.shape[0]
+    if digits.shape[1] != BP:
+        dp = jnp.zeros((n_win, BP), dtype=jnp.int32)
+        digits = lax.dynamic_update_slice(
+            dp, digits.astype(jnp.int32), (0, 0))
+    else:
+        digits = digits.astype(jnp.int32)
+    bs = pl.BlockSpec((CHP, tb), lambda j: (0, j), memory_space=pltpu.VMEM)
+    ds_ = pl.BlockSpec((n_win, tb), lambda j: (0, j),
+                       memory_space=pltpu.VMEM)
+    ws = lambda s: pl.BlockSpec(s, lambda j: tuple(0 for _ in s),
+                                memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_rns_exp_elem_kernel, window=window, k=k,
+                          CH=CH),
+        out_shape=jax.ShapeDtypeStruct((CHP, BP), jnp.uint32),
+        grid=(BP // tb,),
+        in_specs=[bs, ds_, ws(vec.shape), ws(skc.shape), ws(E1.shape),
+                  ws(CS1.shape), ws(E2.shape), ws(CS2.shape),
+                  ws(one.shape)],
+        out_specs=bs,
+        scratch_shapes=[
+            pltpu.VMEM(((1 << window) * CHP, tb), jnp.uint32),
+        ],
+        interpret=INTERPRET,
+    )(x, digits, vec, skc, E1, CS1, E2, CS2, one)
+    return out
+
+
+def rns_exp_elem_p(X, digits, base: RnsBase, key: RnsModulus,
+                   window: int, tb: int | None = None):
+    """Drop-in for rns.rns_exp_elem on TPU: per-element exponents."""
+    p = pack(base.mbits, key.m)
+    tb = tb or tb_for(base.CH, window)
+    if tb is None:
+        raise ValueError(
+            f"rns_exp_elem_p: window {window} exceeds VMEM at CH={base.CH}")
+    B = X.shape[1]
+    out = _exp_elem_call(X, digits, p["vec"], p["skc"], p["E1"],
+                         p["CS1"], p["E2"], p["CS2"], p["one"],
+                         window=window, tb=tb, k=base.k, CH=base.CH)
+    return out[:base.CH, :B]
 
 
 def rns_exp_shared_p(X, digits, base: RnsBase, key: RnsModulus,

@@ -200,10 +200,13 @@ class RnsBase:
             pow(Mp % m_r, -1, m_r),
             1,
         ], dtype=np.uint32)[:, None]
-        # int32 plane-accumulator bounds (see _combine_planes): the mid
-        # plane is split at 2^23, so we need k (or L at enter) below
-        # 2^25 / (2*255*255) and S00 + (lo<<8) < 2^31 + 2^25.
-        assert 2 * k * 255 * 255 < (1 << 25)
+        # Plane-accumulator bounds (see _combine_planes): with the mid
+        # plane split at 2^23 the binding constraints are
+        # S00 < 2^31 (=> k < 33000, int32 dot) and exact f32
+        # accumulation in the bf16 MXU kernel (k*128^2 < 2^24 =>
+        # k <= 900, enforced at the Pallas dispatch via pallas_rns).
+        assert 2 * k * 255 * 255 < (1 << 31)
+        assert k <= 900, "f32-exact MXU accumulation bound"
         j = lambda a: jnp.asarray(a)
         C1_lo, C1_hi = _byte_planes(C1)
         C2_lo, C2_hi = _byte_planes(C2)
@@ -560,3 +563,43 @@ def rns_crt_exp_half(v_limbs, digits, base: RnsBase, key: RnsModulus,
     X = rns_enter(v_limbs, base, key)
     Z = rns_exp_shared(X, digits, base, key, window)
     return rns_exit(Z, base, key, sq_ctx, L)
+
+
+def rns_exp_elem(X, digits, base: RnsBase, key: RnsModulus, window: int):
+    """Per-element-exponent chain (the ct*pt path): digits (n_win, B)
+    MSB-first base-2^window digits, one exponent per batch column.
+    Returns the state of c^e * M.  TPU dispatches to the Pallas kernel
+    (one-hot table select); the jnp body is the CPU/verification path."""
+    if mg._on_tpu():
+        from . import pallas_rns
+        if pallas_rns.tb_for(base.CH, window):
+            return pallas_rns.rns_exp_elem_p(X, digits, base, key, window)
+    B = X.shape[1]
+    tsize = 1 << window
+    entries = [rns_one_state(base, key, B), X]
+    for _ in range(tsize - 2):
+        entries.append(rns_mont_mul(entries[-1], X, base, key))
+    table = jnp.stack(entries, axis=0)                  # (tsize, CH, B)
+    n_win = digits.shape[0]
+
+    def body(j, acc):
+        for _ in range(window):
+            acc = rns_mont_mul(acc, acc, base, key)
+        d = lax.dynamic_slice_in_dim(digits, j, 1, axis=0)[0]
+        t = jnp.take_along_axis(
+            table, d[None, None, :].astype(jnp.int32), axis=0)[0]
+        return rns_mont_mul(acc, t, base, key)
+
+    return lax.fori_loop(0, n_win, body, table[0])
+
+
+@partial(jax.jit, static_argnames=("window", "L"))
+def rns_pow_elem(v_limbs, digits, base: RnsBase, key: RnsModulus,
+                 sq_ctx, window: int, L: int):
+    """Full per-element modexp: Montgomery-limb bases (L, B), per-column
+    exponents -> Montgomery-limb c^e (the HE ct*pt contract).  Used by
+    PublicContext.mul_pt for the mod-n^2 domain."""
+    X = rns_enter(v_limbs, base, key)
+    Z = rns_exp_elem(X, digits, base, key, window)
+    out = rns_exit(Z, base, key, sq_ctx, L)             # canonical c^e
+    return mg.mont_mul(out, sq_ctx.r2, sq_ctx)          # back to Mont form

@@ -56,3 +56,39 @@ def test_kernel_matches_jnp_path():
     from pailliercryptolib_python_tpu.ops.limb import limbs_to_ints
     for c, g in zip(cs, limbs_to_ints(np.asarray(out))):
         assert g == pow(c, e, m)
+
+
+def test_elem_kernel_matches_jnp_path():
+    """Per-element-exponent kernel (ct*pt path) vs the jnp reference."""
+    from pailliercryptolib_python_tpu.ops import pallas_rns
+    from pailliercryptolib_python_tpu.utils.fixtures import fixed_key_ints
+
+    mbits = 576
+    base = rns.RnsBase.for_bits(mbits)
+    kd = fixed_key_ints(256)
+    m = kd["n"] * kd["n"]
+    L = (m.bit_length() + 2 + 15) // 16
+    sq_ctx = mg.MontCtx.for_modulus(m, min_bits=LIMB_BITS * L, mxu=False)
+    L = sq_ctx.num_limbs
+    key = rns.RnsModulus.build(base, m, L)
+    R = 1 << (LIMB_BITS * L)
+
+    window = 4
+    es = [rng.getrandbits(50) | 1 for _ in range(9)]
+    nw = -(-max(e.bit_length() for e in es) // window)
+    digits = jnp.asarray(mg.exponent_digits(es, nw, window))
+    cs = [rng.randrange(m) for _ in range(9)]
+    v_limbs = jnp.asarray(ints_to_limbs([c * R % m for c in cs], L))
+    X = rns.rns_enter(v_limbs, base, key)
+
+    want = np.asarray(rns.rns_exp_elem(X, digits, base, key, window))
+    got = np.asarray(pallas_rns.rns_exp_elem_p(X, digits, base, key,
+                                               window))
+    assert np.array_equal(got, want), "elem kernel != jnp reference"
+
+    # end-to-end contract (rns_pow_elem returns Montgomery-limb form)
+    out = rns.rns_pow_elem(v_limbs, digits, base, key, sq_ctx, window, L)
+    out = mg.from_mont(jnp.asarray(out), sq_ctx)
+    from pailliercryptolib_python_tpu.ops.limb import limbs_to_ints
+    for cint, e, g in zip(cs, es, limbs_to_ints(np.asarray(out))):
+        assert g == pow(cint, e, m)
