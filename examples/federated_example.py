@@ -15,6 +15,11 @@ PAILLIER_NUM_PROCESSES / PAILLIER_PROCESS_ID and the same code runs over
 ICI+DCN (parallel/distributed.initialize is called below).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 

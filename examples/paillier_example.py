@@ -14,6 +14,11 @@ import argparse
 import pickle
 import time
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from pailliercryptolib_python_tpu import (

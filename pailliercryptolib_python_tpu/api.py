@@ -129,7 +129,16 @@ class PaillierPublicKey:
 
     def encrypt(self, values, apply_obfuscator: bool = True
                 ) -> "PaillierEncryptedNumber":
-        """Vectorized encrypt of a scalar or 1-D batch."""
+        """Vectorized encrypt of a scalar or 1-D batch.
+
+        With config.encrypt_pipeline_chunks > 1 (the hybridMode knob,
+        utils/context.py) large batches run chunked: each chunk's host
+        stage (fixed-point encode, limb pack, entropy) overlaps the
+        previous chunk's asynchronously dispatched device program."""
+        from .utils import config as _config
+        from .models.paillier import pad_batch
+        import jax.numpy as jnp
+
         if np.isscalar(values):
             values = [values]
 
@@ -140,6 +149,24 @@ class PaillierPublicKey:
                 raise ValueError(
                     "PaillierPublicKey.encrypt: input value(s) should be "
                     "integer or float")
+
+        B = len(values)
+        chunks = _config.get_config().encrypt_pipeline_chunks
+        if chunks > 1 and B >= 256 * chunks:
+            csize = pad_batch(-(-B // chunks))
+            sliceable = arr if arr.dtype.kind in "fiu" else values
+            devs, expos_parts = [], []
+            for i in range(0, B, csize):
+                encs, exps = encode_vector(sliceable[i:i + csize],
+                                           self.n, self.max_int)
+                devs.append(self.pubkey.context.encrypt(
+                    encs, apply_obfuscator, pad_to=csize))
+                expos_parts.append(exps)
+            ct_dev = jnp.concatenate(devs, axis=1)[:, :pad_batch(B)]
+            expos = np.concatenate(expos_parts)
+            ct = ipclCipherText(self.pubkey, _dev=ct_dev, _length=B)
+            return PaillierEncryptedNumber(self, ct, exponents=expos,
+                                           length=B)
 
         encodings, expos = encode_vector(values, self.n, self.max_int)
         ct_dev = self.pubkey.context.encrypt(encodings, apply_obfuscator)

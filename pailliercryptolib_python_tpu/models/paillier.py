@@ -311,9 +311,10 @@ class PublicContext:
 
     # -- encodings host<->device -------------------------------------------
 
-    def encodings_to_device(self, encodings: list) -> jnp.ndarray:
+    def encodings_to_device(self, encodings: list,
+                            pad_to: int | None = None) -> jnp.ndarray:
         """List of B ints (mod n) -> (Ln, B_pad) canonical device limbs."""
-        B = pad_batch(len(encodings))
+        B = pad_to or pad_batch(len(encodings))
         arr = ints_to_limbs(list(encodings) + [0] * (B - len(encodings)), self.Ln)
         return jnp.asarray(arr)
 
@@ -394,13 +395,17 @@ class PublicContext:
                           self.ctx, window=WINDOW)
         return mg.mont_mul(ct_mont, obf, self.ctx)
 
-    def encrypt(self, encodings: list, apply_obfuscator: bool = True) -> jnp.ndarray:
+    def encrypt(self, encodings: list, apply_obfuscator: bool = True,
+                pad_to: int | None = None) -> jnp.ndarray:
         """Full encrypt: encodings (list of ints mod n) -> Montgomery cts.
 
         One H2D transfer of the encodings (+ obfuscator digits) and ONE
         fused device program — the whole pipeline (1+mn, Montgomery entry,
-        comb gather, product chain) dispatches as a single call."""
-        m = self.encodings_to_device(encodings)
+        comb gather, product chain) dispatches as a single call.  Device
+        dispatch is asynchronous, so callers that chunk a batch (the
+        hybridMode pipelining knob, utils/context.py) overlap the next
+        chunk's host stage with this chunk's device stage."""
+        m = self.encodings_to_device(encodings, pad_to)
         if apply_obfuscator and self.enable_DJN:
             digits = self.sample_obfuscator_digits(m.shape[1])
             return _encrypt_djn(m, digits, self.comb_table, self.n_limbs,
@@ -428,7 +433,7 @@ class PublicContext:
                 mbits_r = -(-(2 * self.bits + 2) // 64) * 64
                 if mbits_r <= 14000:    # k <= 900 channel-count bound
                     base = _rns.RnsBase.for_bits(mbits_r)
-                    for w in (4, 3):
+                    for w in (4, 3, 2):
                         if mg._on_tpu() and not _prns.tb_for(base.CH, w):
                             continue
                         key = _rns.RnsModulus.build(base, self.nsquare,
@@ -862,10 +867,13 @@ class PrivateContext:
             "stage5_to_ints": lambda: limbs_to_ints(np.asarray(m))[:b],
         }
         if self.use_rns:
-            stages["stage2_rns_p_half"] = lambda: self._rns_exp_halves(
-                base_m)[0]
-            stages["stage2_rns_q_half"] = lambda: self._rns_exp_halves(
-                base_m)[1]
+            from ..ops import rns as _rns
+            stages["stage2_rns_p_half"] = lambda: _rns.rns_crt_exp_half(
+                base_m[:, :B], self.rdig_p, self.rns_base, self.rns_p,
+                self._sq_p, self.rns_window, self.Lh)
+            stages["stage2_rns_q_half"] = lambda: _rns.rns_crt_exp_half(
+                base_m[:, B:], self.rdig_q, self.rns_base, self.rns_q,
+                self._sq_q, self.rns_window, self.Lh)
         elif self._sq_p.wmu is not None:
             stages["stage2_exp_p_half"] = lambda: _crt_stage_exp_half(
                 base_m[:, :B], self._sq_p, self.dig_p, self.dec_window)

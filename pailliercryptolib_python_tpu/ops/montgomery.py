@@ -671,11 +671,22 @@ def exponent_digits(exps, n_win: int, window: int,
                     msb_first: bool = True) -> np.ndarray:
     """Base-2^window digits of Python-int exponents -> (n_win, B) uint32.
 
-    Vectorized through one bytes buffer (window in {4, 8}): exponents are
-    serialized little-endian once, then reinterpreted — no per-digit
-    Python loop (the encrypt path extracts ~10^5 digits per batch)."""
+    Vectorized through one bytes buffer: window 4/8 reinterpret the
+    buffer directly; other windows <= 16 go through the C extension's
+    bit-window extractor (native.extract_windows — the RNS chains use
+    windows 3/5).  Per-digit Python loop only as a last resort."""
     if window not in (4, 8):
         B = len(exps)
+        if window <= 16:
+            from .. import native
+            rbytes = -(-n_win * window // 8) + 4
+            buf = b"".join(int(e).to_bytes(rbytes, "little") for e in exps)
+            digs = native.extract_windows(buf, B, rbytes, window, n_win)
+            if digs is not None:
+                digs = np.ascontiguousarray(digs.astype(np.uint32))
+                if msb_first:
+                    digs = np.ascontiguousarray(digs[::-1])
+                return digs
         out = np.zeros((n_win, B), dtype=np.uint32)
         mask = (1 << window) - 1
         for b, e in enumerate(exps):

@@ -35,7 +35,12 @@ from .rns import (RnsBase, RnsModulus, _cmul, _redc, _submod, _addmod,
 
 INTERPRET = False
 
-_VMEM_BUDGET = 13_500_000
+# Scoped-VMEM model, calibrated against Mosaic's own accounting: the
+# hardware limit is 16.00 MB and a compiled chain kernel uses
+# table (2^w * CHP rows) + ~22.2 CHP-rows of live temporaries (measured
+# from the 4096-key elem kernel's 16.21 MB refusal at CHP=1048/w=3).
+_VMEM_BUDGET = 15_800_000
+_WORK_ROWS = 23
 
 
 def _pad8(n: int) -> int:
@@ -44,8 +49,8 @@ def _pad8(n: int) -> int:
 
 def plan(CH: int) -> tuple:
     """(window, tb) fitting the scoped-VMEM budget: the 2^w-entry state
-    table plus ~14 working copies of the (CHP, tb) state."""
-    for w in (5, 4, 3):
+    table plus the working copies of the (CHP, tb) state."""
+    for w in (5, 4, 3, 2):
         tb = tb_for(CH, w)
         if tb:
             return w, tb
@@ -57,7 +62,7 @@ def tb_for(CH: int, window: int) -> int | None:
     if k > 900:      # exact-f32 MXU accumulation bound (rns.RnsBase)
         return None
     CHP = _pad8(CH)
-    rows = (1 << window) * CHP + 14 * CHP
+    rows = (1 << window) * CHP + _WORK_ROWS * CHP
     for tb in (128,):
         if 4 * tb * rows <= _VMEM_BUDGET:
             return tb

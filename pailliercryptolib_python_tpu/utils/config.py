@@ -66,9 +66,19 @@ class Config:
     # reference's Python layer leaks the same way).  Costs ~the full
     # modexp even for small plaintexts plus one batch inversion per mul.
     fixed_shape_ops: bool = os.environ.get("PAILLIER_FIXED_SHAPE") == "1"
-    # device-batched base-2 Miller-Rabin in keygen: "auto" (TPU and
-    # >=1024-bit candidates), "1" (always), "0" (host-only)
-    keygen_device: str = os.environ.get("PAILLIER_KEYGEN_DEVICE", "auto")
+    # device-batched base-2 Miller-Rabin in keygen: "auto"/"1" enable,
+    # "0" host-only.  MEASURED NEGATIVE RESULT on this harness (round 4):
+    # through the ~30-40 ms/call remote relay, the per-squaring dispatch
+    # ladder + first-compile made 2048-bit keygen 72 s vs ~0.5 s host —
+    # the batched modexp itself is fast, the relay round trips are not.
+    # Default is host; flip to "auto" on a locally attached TPU where
+    # dispatch is ~us (the path is correctness-tested either way).
+    keygen_device: str = os.environ.get("PAILLIER_KEYGEN_DEVICE", "0")
+    # encrypt host/device pipelining depth (1 = no chunking); the
+    # hybridControl.setHybridMode parity knob maps onto this
+    # (utils/context.py).  Chunk i+1's host encode/pack/entropy overlaps
+    # chunk i's asynchronously dispatched device program.
+    encrypt_pipeline_chunks: int = _env_int("PAILLIER_ENC_CHUNKS", 1)
     mesh_hosts: int | None = None
     mesh_chips: int | None = None
 

@@ -3,10 +3,23 @@
 The reference exposes QAT accelerator lifecycle and a QAT/CPU work-split
 policy (py_ipclContext / py_ipclHybridControl / ipcl::HybridMode,
 /root/reference/src/ipcl_python/bindings/include/ipcl_bindings.hpp:27-42,
-ipcl_bindings.cpp:37-56).  On TPU the accelerator IS the default compute
-path, so `context` becomes a device-selection shim (it reports whether an
-accelerator backend is live) and `hybridMode` is accepted and recorded —
-a host/TPU work split is a no-op policy knob for now.
+ipcl_bindings.cpp:37-56).  On TPU the accelerator IS the modexp path, so
+a literal QAT:CPU modexp ratio would only slow things down.  The honest
+TPU analog of the work-split knob is HOST/DEVICE PIPELINING: encryption
+has a real host stage (fixed-point encode, limb packing, OS-entropy
+digit sampling) and a device stage (the comb product chain), and
+`setHybridMode` now controls how finely `PublicKey.encrypt` chunks a
+batch so the host stage of chunk i+1 overlaps the (asynchronously
+dispatched) device stage of chunk i:
+
+    QAT                    -> 1 chunk (all-device-at-once, no overlap)
+    OPTIMAL / PREF_QAT*    -> 4 chunks (overlap; device-leaning split)
+    HALF                   -> 2 chunks
+    PREF_IPP* / IPP        -> 8 chunks (host-leaning, finest pipelining)
+    UNDEFINED              -> config default (no chunking)
+
+`context` remains a device-selection shim: it reports whether an
+accelerator backend is live (initialization is implicit in JAX).
 """
 
 from __future__ import annotations
@@ -80,18 +93,37 @@ class context:
         return context.isQATRunning()
 
 
+_MODE_CHUNKS = {
+    hybridMode.QAT: 1,
+    hybridMode.OPTIMAL: 4,
+    hybridMode.PREF_QAT90: 4, hybridMode.PREF_QAT80: 4,
+    hybridMode.PREF_QAT70: 4, hybridMode.PREF_QAT60: 4,
+    hybridMode.HALF: 2,
+    hybridMode.PREF_IPP60: 8, hybridMode.PREF_IPP70: 8,
+    hybridMode.PREF_IPP80: 8, hybridMode.PREF_IPP90: 8,
+    hybridMode.IPP: 8,
+}
+
+
 class hybridControl:
-    """Work-split policy shim (py_ipclHybridControl parity)."""
+    """Work-split policy (py_ipclHybridControl parity).
+
+    Setting a mode configures the encrypt host/device pipelining depth
+    (see module docstring); UNDEFINED restores the config default."""
 
     _mode = hybridMode.UNDEFINED
 
     @staticmethod
     def setHybridMode(mode: hybridMode) -> None:
+        from . import config as _config
         hybridControl._mode = hybridMode(mode)
+        chunks = _MODE_CHUNKS.get(hybridControl._mode)
+        if chunks is not None:
+            _config.set_config(encrypt_pipeline_chunks=chunks)
 
     @staticmethod
     def setHybridOff() -> None:
-        hybridControl._mode = hybridMode.IPP
+        hybridControl.setHybridMode(hybridMode.IPP)
 
     @staticmethod
     def getHybridMode() -> hybridMode:

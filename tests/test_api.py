@@ -304,3 +304,33 @@ def test_fixed_shape_mode_matches(keys):
     assert np.allclose(got, want)
     assert np.allclose(got, x * y, atol=1e-9)
     assert np.allclose(got_s, x * 3.5, atol=1e-9)
+
+
+def test_hybrid_pipelined_encrypt(keys):
+    """hybridMode now maps to real host/device pipelining: chunked
+    encrypt must produce ciphertexts that decrypt identically, and the
+    exponent bookkeeping must survive chunk boundaries."""
+    import numpy as np
+    from pailliercryptolib_python_tpu.utils.context import (
+        hybridControl, hybridMode)
+    from pailliercryptolib_python_tpu.utils import config as cfg
+
+    pk, sk = keys
+    vals = np.random.default_rng(3).random(2100) * 100 - 50
+    want = sk.decrypt(pk.encrypt(vals))
+    try:
+        for mode in (hybridMode.OPTIMAL, hybridMode.HALF, hybridMode.IPP,
+                     hybridMode.QAT):
+            hybridControl.setHybridMode(mode)
+            assert cfg.get_config().encrypt_pipeline_chunks >= 1
+            ct = pk.encrypt(vals)
+            assert len(ct) == 2100
+            got = sk.decrypt(ct)
+            assert np.allclose(got, want, atol=0)
+            assert np.allclose(got, vals, atol=1e-7)
+            # slicing across a chunk boundary
+            assert np.allclose(sk.decrypt(ct[500:600]), vals[500:600],
+                               atol=1e-7)
+    finally:
+        cfg.set_config(encrypt_pipeline_chunks=1)
+    assert hybridControl.getHybridMode() == hybridMode.QAT

@@ -172,9 +172,10 @@ def test_generate_prime_bulk_path():
     from pailliercryptolib_python_tpu.models import paillier as sch
     from pailliercryptolib_python_tpu.utils import config as cfg
 
+    prev = cfg.get_config().keygen_device
     cfg.set_config(keygen_device="1")
     try:
         p = sch.generate_prime(256)
     finally:
-        cfg.set_config(keygen_device="auto")
+        cfg.set_config(keygen_device=prev)
     assert p.bit_length() == 256 and sch.is_probable_prime(p)
