@@ -187,12 +187,31 @@ def bench_key(bits, batches, results, rng, headline_B=None,
     log(f"CombTableBuild/{bits} (w={pub.comb_window}): "
         f"{(time.perf_counter() - t0) * 1e3:.0f} ms")
 
-    def encrypt_device(m_limbs, digits):
-        """The production device program (what pub.encrypt dispatches)."""
-        out = sch._encrypt_djn(m_limbs, digits, pub.comb_table, pub.n_limbs,
-                               pub.ctx, pub.L)
-        out.block_until_ready()
-        return out
+    enc_plan = pub._rns_enc_plan()
+    if enc_plan is not None:
+        from pailliercryptolib_python_tpu.ops import rns as _rns
+        base_r, key_r = enc_plan
+        t0 = time.perf_counter()
+        comb_rns = pub.comb_rns
+        _sync(comb_rns[0])
+        log(f"CombRnsConvert/{bits}: "
+            f"{(time.perf_counter() - t0) * 1e3:.0f} ms "
+            f"({comb_rns.size * 4 / 1e6:.0f} MB)")
+
+        def encrypt_device(m_limbs, digits):
+            """Production device program: RNS streamed comb product."""
+            raw = sch._encrypt_raw_canonical(m_limbs, pub.n_limbs, pub.L)
+            out = _rns.rns_comb_product(raw, comb_rns, digits, base_r,
+                                        key_r, pub.ctx, pub.L)
+            out.block_until_ready()
+            return out
+    else:
+        def encrypt_device(m_limbs, digits):
+            """Production device program (limb comb path)."""
+            out = sch._encrypt_djn(m_limbs, digits, pub.comb_table,
+                                   pub.n_limbs, pub.ctx, pub.L)
+            out.block_until_ready()
+            return out
 
     all_bs = list(batches) + ([headline_B] if headline_B else [])
     for B in all_bs:
@@ -267,6 +286,29 @@ def bench_key(bits, batches, results, rng, headline_B=None,
             log(f"Headline host pipeline (encode+pack+entropy): "
                 f"{t_hostpipe * 1e3:.0f} ms for B={B}; H2D via relay "
                 f"{t_h2d * 1e3:.0f} ms (excluded, harness artifact)")
+            # measured PIPELINED e2e encrypt (the hybridMode work-split):
+            # chunked host encode/pack/entropy overlapping async device
+            # dispatch — wall time from values to synced ciphertexts
+            from pailliercryptolib_python_tpu.utils import (
+                config as _pcfg)
+            from pailliercryptolib_python_tpu.bindings.containers import (
+                ipclPublicKey as _ipk)
+            from pailliercryptolib_python_tpu.api import (
+                PaillierPublicKey as _PPK)
+            pk_pipe = _PPK(_ipk(None, _context=pub))
+            fv = list(fvals)
+            _pcfg.set_config(encrypt_pipeline_chunks=4)
+            try:
+                t_pipe = timeit(
+                    lambda: _sync(pk_pipe.encrypt(fv).ciphertext()
+                                  .device_array()), warmup=1, iters=2)
+            finally:
+                _pcfg.set_config(encrypt_pipeline_chunks=1)
+            results["Encrypt_pipelined_e2e"] = t_pipe
+            log(f"Encrypt_pipelined_e2e/{tag}: {t_pipe * 1e6:.0f} us "
+                f"({B / t_pipe:.1f} enc/s wall, 4-chunk host/device "
+                f"overlap incl relay)")
+
             # per-stage decrypt breakdown (VERDICT r3 #7): makes RNS /
             # kernel progress attributable round over round
             stages = priv.profile_stages(ct_dev, B)
@@ -476,10 +518,8 @@ def federated_e2e_1m(pub, priv, kd, results, rng):
     for _ in range(parties):
         vals = rng.integers(0, 2**40, size=B)
         total_plain += int(vals.sum())
-        enc_limbs = pub.encodings_to_device([int(v) for v in vals])
-        digits = pub.sample_obfuscator_digits(B)
-        ct = sch._encrypt_djn(enc_limbs, digits, pub.comb_table,
-                              pub.n_limbs, pub.ctx, pub.L)
+        # engine-dispatched production encrypt (RNS comb on TPU)
+        ct = pub.encrypt([int(v) for v in vals], apply_obfuscator=True)
         agg = ct if agg is None else mg.mont_mul(agg, ct, pub.ctx)
     total = pub.tree_reduce(agg, B)
     got = priv.decrypt_to_ints(total, 1)[0]

@@ -258,6 +258,7 @@ class PublicContext:
         self._n_digits = None
         self._comb = None
         self._rns_mul = None      # lazy (base, key, window) for ct*pt
+        self._comb_rns = None     # lazy RNS-state comb table (encrypt)
 
     # -- lazily built per-key device tables --------------------------------
 
@@ -286,8 +287,59 @@ class PublicContext:
         return self._comb
 
     def _drop_comb(self) -> None:
-        """Evict the cached comb table (called by the LRU registry)."""
+        """Evict the cached comb tables (called by the LRU registry)."""
         self._comb = None
+        self._comb_rns = None
+
+    def _rns_enc_plan(self):
+        """(base, key) for the RNS encrypt engine, or None.
+
+        Gated on the RNS comb table's HBM footprint (2x-ish the limb
+        comb): past half the comb budget (4096-bit keys at window 12)
+        encryption stays on the limb path."""
+        eng = _config.get_config().encrypt_engine
+        if eng == "limb" or (eng == "auto" and not mg._on_tpu()):
+            return None
+        plan = self._rns_mul_plan()     # same mod-n^2 base/key
+        if plan is None:
+            return None
+        n_win = -(-self.randbits // self.comb_window)
+        rns_bytes = n_win * plan[0].CH * (1 << self.comb_window) * 4
+        if rns_bytes > _config.get_config().comb_hbm_budget_bytes // 2:
+            return None
+        return (plan[0], plan[1])
+
+    @property
+    def comb_rns(self):
+        """The comb table's entries as RNS states of f*M: (n_win, CH,
+        2^w) uint32, converted once per key from the positional-limb
+        comb via rns_enter (entries are Montgomery-limb, = f*R, exactly
+        rns_enter's input contract)."""
+        if self._comb_rns is None:
+            from ..ops import rns as _rns
+            base, key = self._rns_enc_plan()
+            comb = self.comb_table                       # (n_win, L, 2^w)
+            n_win, L, tsize = comb.shape
+            flat = comb.transpose(1, 0, 2).reshape(L, n_win * tsize)
+            CH = base.CH
+            outs = []
+            CHUNK = 32768
+            NE = n_win * tsize
+            for c0 in range(0, NE, CHUNK):
+                c1 = min(NE, c0 + CHUNK)
+                sl = flat[:, c0:c1]
+                if sl.shape[1] < CHUNK and NE > CHUNK:
+                    sl = jnp.pad(sl, ((0, 0), (0, CHUNK - sl.shape[1])))
+                outs.append(_rns.rns_enter(sl, base, key)[:, :c1 - c0])
+            ent = outs[0] if len(outs) == 1 else jnp.concatenate(outs,
+                                                                 axis=1)
+            self._comb_rns = ent.reshape(CH, n_win, tsize).transpose(
+                1, 0, 2)
+            _config.comb_registry.register(
+                self, _config.comb_table_bytes(self.randbits, self.L,
+                                               self.comb_window)
+                + n_win * CH * tsize * 4)
+        return self._comb_rns
 
     def _host_pow2_ladder(self) -> np.ndarray:
         """P[t] = hs^(2^t) * R mod n^2 (Montgomery form) for t < randbits,
@@ -408,6 +460,14 @@ class PublicContext:
         m = self.encodings_to_device(encodings, pad_to)
         if apply_obfuscator and self.enable_DJN:
             digits = self.sample_obfuscator_digits(m.shape[1])
+            plan = self._rns_enc_plan()
+            if plan is not None:
+                from ..ops import rns as _rns
+                base, key = plan
+                raw = _encrypt_raw_canonical(m, self.n_limbs, self.L)
+                return _rns.rns_comb_product(
+                    raw, self.comb_rns, jnp.asarray(digits), base, key,
+                    self.ctx, self.L)
             return _encrypt_djn(m, digits, self.comb_table, self.n_limbs,
                                 self.ctx, self.L)
         ct = self.encrypt_raw(m)
@@ -644,6 +704,13 @@ def _encrypt_raw(m_limbs, n_limbs, ctx, L):
     mn = big_mul(m_limbs, n_limbs, out_limbs=L)
     ct = normalize(mn.at[0].add(1))
     return mg.to_mont(ct, ctx)
+
+
+@partial(jax.jit, static_argnames=("L",))
+def _encrypt_raw_canonical(m_limbs, n_limbs, L):
+    """(1 + m*n) mod n^2 as CANONICAL limbs (the RNS encrypt entry)."""
+    mn = big_mul(m_limbs, n_limbs, out_limbs=L)
+    return normalize(mn.at[0].add(1))
 
 
 @jax.jit

@@ -345,6 +345,53 @@ def _exp_elem_call(x, digits, vec, skc, E1, CS1, E2, CS2, one, *,
     return out
 
 
+def _rns_mul_kernel(a_ref, b_ref, vec_ref, skc_ref, e1_ref, cs1_ref,
+                    e2_ref, cs2_ref, o_ref, *, k, CH):
+    """Single RNS-Montgomery product (the streamed encrypt-comb step)."""
+    vec = vec_ref[...]
+    c = (vec[:, 0:1], vec[:, 1:2], vec[:, 2:3], vec[:, 3:4],
+         vec[:, 4:5], vec[:, 5:6], vec[:, 6:7], vec[:, 7:8],
+         skc_ref[...], e1_ref[...], cs1_ref[...], e2_ref[...],
+         cs2_ref[...])
+    o_ref[...] = _mul_val(a_ref[...], b_ref[...], c, k=k, CH=CH,
+                          CHP=a_ref.shape[0])
+
+
+@functools.partial(jax.jit, static_argnames=("tb", "k", "CH"))
+def _mul_call(a, b, vec, skc, E1, CS1, E2, CS2, *, tb, k, CH):
+    CHP = vec.shape[0]
+    B = a.shape[1]
+    BP = -(-B // tb) * tb
+    if a.shape[0] != CHP or BP != B:
+        pad_a = jnp.zeros((CHP, BP), dtype=jnp.uint32)
+        a = lax.dynamic_update_slice(pad_a, a, (0, 0))
+        pad_b = jnp.zeros((CHP, BP), dtype=jnp.uint32)
+        b = lax.dynamic_update_slice(pad_b, b, (0, 0))
+    bs = pl.BlockSpec((CHP, tb), lambda j: (0, j), memory_space=pltpu.VMEM)
+    ws = lambda s: pl.BlockSpec(s, lambda j: tuple(0 for _ in s),
+                                memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_rns_mul_kernel, k=k, CH=CH),
+        out_shape=jax.ShapeDtypeStruct((CHP, BP), jnp.uint32),
+        grid=(BP // tb,),
+        in_specs=[bs, bs, ws(vec.shape), ws(skc.shape), ws(E1.shape),
+                  ws(CS1.shape), ws(E2.shape), ws(CS2.shape)],
+        out_specs=bs,
+        interpret=INTERPRET,
+    )(a, b, vec, skc, E1, CS1, E2, CS2)
+    return out
+
+
+def rns_mul_p(A, B_state, base: RnsBase, key: RnsModulus,
+              tb: int = 128):
+    """Drop-in for rns.rns_mont_mul on TPU (one product, no chain)."""
+    p = pack(base.mbits, key.m)
+    B = A.shape[1]
+    out = _mul_call(A, B_state, p["vec"], p["skc"], p["E1"], p["CS1"],
+                    p["E2"], p["CS2"], tb=tb, k=base.k, CH=base.CH)
+    return out[:base.CH, :B]
+
+
 def rns_exp_elem_p(X, digits, base: RnsBase, key: RnsModulus,
                    window: int, tb: int | None = None):
     """Drop-in for rns.rns_exp_elem on TPU: per-element exponents."""

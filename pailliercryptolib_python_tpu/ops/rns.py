@@ -446,6 +446,39 @@ def rns_exit(Z, base: RnsBase, key: RnsModulus, sq_ctx, L: int):
     """RNS state of z~ = c^e * M (< (k+1)m) -> canonical limbs of
     c^e mod m (Shenoy-Kumaresan CRT to limbs, then one positional
     Montgomery fold by |R^3 M^-1| and a standard Montgomery exit)."""
+    z_limbs = _exit_limbs(Z, base)
+    t = mg.mont_reduce_wide(z_limbs, sq_ctx)            # z~ * R^-1, < 2m
+    u = mg.mont_mul(t, key.k4_limbs, sq_ctx)            # c^e * R (Mont form)
+    return mg.from_mont(u, sq_ctx)                      # canonical < m
+
+
+def rns_exit_mont(Z, base: RnsBase, key: RnsModulus, sq_ctx, L: int):
+    """Exit for chains whose ENTER took canonical (non-Montgomery-limb)
+    input — the encrypt comb product: the state's value carries an R^-1,
+    and the ciphertext representation wants Montgomery-limb form, so the
+    fold constant is |R^4 M^-1| and there is no final from_mont.
+    Output < 2m (Walter), i.e. a valid resident ciphertext."""
+    z_limbs = _exit_limbs(Z, base)
+    t = mg.mont_reduce_wide(z_limbs, sq_ctx)
+    k5 = _k5_limbs(base.mbits, key.m, L)
+    return mg.mont_mul(t, k5, sq_ctx)                   # value * R
+
+
+@lru_cache(maxsize=32)
+def _k5_limbs_np(mbits, m, L):
+    base = RnsBase.for_bits(mbits)
+    R = 1 << (LIMB_BITS * L)
+    return int_to_limbs(pow(R, 4, m) * pow(base.M % m, -1, m) % m,
+                        L)[:, None]
+
+
+def _k5_limbs(mbits, m, L):
+    return _k5_limbs_np(mbits, m, L)
+
+
+def _exit_limbs(Z, base: RnsBase):
+    """SK-CRT reconstruction of the state's exact integer value z~ < kM
+    into positional limbs (L_W, B)."""
     k = base.k
     mods, n0 = base.mods, base.n0
     mR, n0R = mods[2 * k:], n0[2 * k:]
@@ -470,10 +503,7 @@ def rns_exit(Z, base: RnsBase, key: RnsModulus, sq_ctx, L: int):
     diff = _submod(rr, z_r, mR)
     delta = _cmul(diff, _cMinv16(base), mR, n0R)        # true delta, < k
     dM = normalize(_M_limbs(base) * delta)              # (L_M, B)
-    z_limbs = sub_mod_base(r_hat, dM)                   # exact, z~ < kM
-    t = mg.mont_reduce_wide(z_limbs, sq_ctx)            # z~ * R^-1, < 2m
-    u = mg.mont_mul(t, key.k4_limbs, sq_ctx)            # c^e * R (Mont form)
-    return mg.from_mont(u, sq_ctx)                      # canonical < m
+    return sub_mod_base(r_hat, dM)                      # exact, z~ < kM
 
 
 @lru_cache(maxsize=8)
@@ -591,6 +621,39 @@ def rns_exp_elem(X, digits, base: RnsBase, key: RnsModulus, window: int):
         return rns_mont_mul(acc, t, base, key)
 
     return lax.fori_loop(0, n_win, body, table[0])
+
+
+@partial(jax.jit, static_argnames=("L",))
+def rns_comb_product(ct_raw, comb_rns, digits, base: RnsBase,
+                     key: RnsModulus, sq_ctx, L: int):
+    """The DJN encrypt chain on the RNS engine: canonical (1+mn) limbs
+    (L, B) times the gathered fixed-base comb factors, zero squarings.
+
+    comb_rns: (n_win, CH, 2^w) — the per-key comb table's entries as
+    RNS states of f*M (converted once per key via rns_enter).
+    digits: (n_win, B) LSB-window-first obfuscator digits.
+    Returns Montgomery-limb ciphertexts (L, B), < 2m — bit-compatible
+    with the positional-limb encrypt path after canonicalization.
+    """
+    n_win = digits.shape[0]
+    X = rns_enter(ct_raw, base, key)     # value (1+mn) * R^-1, M-form
+
+    def mul(a, b):
+        if mg._on_tpu():
+            from . import pallas_rns
+            if pallas_rns.tb_for(base.CH, 0):
+                return pallas_rns.rns_mul_p(a, b, base, key)
+        return rns_mont_mul(a, b, base, key)
+
+    def body(j, acc):
+        slab = lax.dynamic_index_in_dim(comb_rns, j, axis=0,
+                                        keepdims=False)  # (CH, 2^w)
+        dig = lax.dynamic_slice_in_dim(digits, j, 1, axis=0)[0]
+        fac = jnp.take(slab, dig.astype(jnp.int32), axis=1)
+        return mul(acc, fac)
+
+    Z = lax.fori_loop(0, n_win, body, X)
+    return rns_exit_mont(Z, base, key, sq_ctx, L)
 
 
 @partial(jax.jit, static_argnames=("window", "L"))

@@ -58,6 +58,12 @@ class Config:
     decrypt_engine: str = os.environ.get("PAILLIER_DECRYPT_ENGINE", "auto")
     # fixed window for the RNS shared-exponent chain (table = 2^w states)
     rns_exp_window: int = _env_int("PAILLIER_RNS_WINDOW", 5)
+    # DJN encrypt engine: "auto" (RNS streamed comb product on TPU, limb
+    # elsewhere), "rns" (force, e.g. for CPU equality tests), "limb".
+    # The RNS path converts the per-key comb table to RNS states once
+    # (~2x the comb's HBM) and then each encrypt window is one fused
+    # single-product kernel instead of a positional-limb modmul.
+    encrypt_engine: str = os.environ.get("PAILLIER_ENCRYPT_ENGINE", "auto")
     # Fixed-shape ct*pt: pad every plaintext exponent to the full mod-n
     # window count and run the negative-column inversion pass over the
     # WHOLE batch unconditionally, so device timing is independent of

@@ -179,3 +179,44 @@ def test_generate_prime_bulk_path():
     finally:
         cfg.set_config(keygen_device=prev)
     assert p.bit_length() == 256 and sch.is_probable_prime(p)
+
+
+def test_rns_encrypt_matches_limb_encrypt():
+    """The RNS streamed-comb encrypt must produce the SAME ciphertext
+    integers as the positional-limb comb path given identical obfuscator
+    digits (and decrypt must round-trip)."""
+    import jax.numpy as jnp
+    from pailliercryptolib_python_tpu.models import paillier as sch
+    from pailliercryptolib_python_tpu.utils.fixtures import fixed_key_ints
+    from pailliercryptolib_python_tpu.utils import config as cfg
+
+    kd = fixed_key_ints(256)
+    pub = sch.PublicContext(kd["n"], kd["bits"], True, kd["hs"],
+                            kd["randbits"])
+    priv = sch.PrivateContext(pub, kd["p"], kd["q"])
+    import random
+    r = random.Random(6)
+    msgs = [r.randrange(kd["n"]) for _ in range(10)]
+    m_dev = pub.encodings_to_device(msgs)
+    digits = pub.sample_obfuscator_digits(m_dev.shape[1])
+
+    ct_limb = sch._encrypt_djn(m_dev, digits, pub.comb_table,
+                               pub.n_limbs, pub.ctx, pub.L)
+    want = pub.export_cts(ct_limb, len(msgs))
+
+    prev = cfg.get_config().encrypt_engine
+    cfg.set_config(encrypt_engine="rns")
+    try:
+        from pailliercryptolib_python_tpu.ops import rns as _rns
+        base, key = pub._rns_enc_plan()
+        raw = sch._encrypt_raw_canonical(m_dev, pub.n_limbs, pub.L)
+        ct_rns = _rns.rns_comb_product(raw, pub.comb_rns,
+                                       jnp.asarray(digits), base, key,
+                                       pub.ctx, pub.L)
+        got = pub.export_cts(ct_rns, len(msgs))
+        assert got == want, "RNS encrypt != limb encrypt"
+        # full pipeline through PublicContext.encrypt + decrypt
+        ct2 = pub.encrypt(msgs, apply_obfuscator=True)
+        assert priv.decrypt_to_ints(ct2, len(msgs)) == msgs
+    finally:
+        cfg.set_config(encrypt_engine=prev)
