@@ -527,9 +527,24 @@ def federated_e2e_1m(pub, priv, kd, results, rng):
     assert got == total_plain % kd["n"], "FederatedE2E_1M total mismatch"
     n_vals = parties * B
     results["FederatedE2E_1M"] = t
+    # attribution: per-party host-prep+H2D (relay-bound here) vs device
+    vals = [int(v) for v in rng.integers(0, 2**40, size=B)]
+    t0 = time.perf_counter()
+    m_dev = pub.encodings_to_device(vals)
+    digs = pub.sample_obfuscator_digits(B)
+    _sync(m_dev)
+    t_h2d = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ct = pub.encrypt(vals, apply_obfuscator=True)
+    ct.block_until_ready()
+    _sync(ct)
+    t_full = time.perf_counter() - t0
     log(f"FederatedE2E_1M: {t * 1e3:.0f} ms wall for {n_vals} distinct "
         f"obfuscated encrypts + aggregate + reduce + decrypt "
-        f"({n_vals / t:.0f} values/s end-to-end, total verified)")
+        f"({n_vals / t:.0f} values/s end-to-end, total verified; "
+        f"per-party split: host-prep+H2D {t_h2d * 1e3:.0f} ms "
+        f"[relay-bound on this harness], full encrypt "
+        f"{t_full * 1e3:.0f} ms)")
 
 
 def op_suite_parity_mini(pk, sk, tag):

@@ -365,8 +365,21 @@ class PublicContext:
 
     def encodings_to_device(self, encodings: list,
                             pad_to: int | None = None) -> jnp.ndarray:
-        """List of B ints (mod n) -> (Ln, B_pad) canonical device limbs."""
+        """List of B ints (mod n) -> (Ln, B_pad) canonical device limbs.
+
+        Small values (federated int payloads) pack and transfer only the
+        limbs they need — power-of-two bucketed — and zero-extend on
+        device, cutting host->device bytes by up to Ln/Lmin (the relay
+        makes H2D the e2e federated bottleneck; a local PCIe/ICI link
+        cares less but still saves bandwidth)."""
         B = pad_to or pad_batch(len(encodings))
+        maxbits = max((int(e).bit_length() for e in encodings), default=1)
+        Lmin = max(1, limbs_for_bits(maxbits))
+        if Lmin <= self.Ln // 2:
+            Lb = min(self.Ln, 1 << (Lmin - 1).bit_length())
+            arr = ints_to_limbs(
+                list(encodings) + [0] * (B - len(encodings)), Lb)
+            return _zero_extend_rows(jnp.asarray(arr), self.Ln)
         arr = ints_to_limbs(list(encodings) + [0] * (B - len(encodings)), self.Ln)
         return jnp.asarray(arr)
 
@@ -382,7 +395,12 @@ class PublicContext:
 
         With an 8-bit window the digits of a uniform r ARE uniform bytes;
         for other windows the bytes are bit-unpacked and regrouped — all
-        numpy-vectorized, no bigint round trip."""
+        numpy-vectorized, no bigint round trip.  Digits ship as uint16
+        (windows <= 16) — half the H2D bytes; consumers cast at use."""
+
+        def out(digs):
+            d16 = digs.astype(np.uint16)
+            return d16 if as_numpy else jnp.asarray(d16)
         B = pad_batch(b)
         w = self.comb_window
         n_win = -(-self.randbits // w)
@@ -399,12 +417,12 @@ class PublicContext:
             digs = native.extract_windows(raw.tobytes(), B, rbytes, w,
                                           n_win)
             if digs is not None:   # C ext available: one-pass extraction
-                return digs if as_numpy else jnp.asarray(digs)
+                return out(digs)
         if w == 8:
             digs = np.zeros((n_win, B), dtype=np.uint32)
             take = min(n_win, rbytes)
             digs[:take] = raw[:, :take].T
-            return digs if as_numpy else jnp.asarray(digs)
+            return out(digs)
         if w % 4 == 0 and w <= 16:
             # nibble-aligned windows: split bytes into nibbles (two
             # strided views) and weight-sum groups of w/4 — ~50x faster
@@ -420,7 +438,7 @@ class PublicContext:
             wts = (np.uint32(1) << (4 * np.arange(g, dtype=np.uint32)))
             digs = (grp * wts).sum(axis=2, dtype=np.uint32)
             digs = np.ascontiguousarray(digs.T)
-            return digs if as_numpy else jnp.asarray(digs)
+            return out(digs)
         bits = np.unpackbits(raw, axis=1, bitorder="little")  # (B, 8*rbytes)
         need = n_win * w
         if bits.shape[1] < need:
@@ -428,8 +446,8 @@ class PublicContext:
         bits = bits[:, :need].reshape(B, n_win, w)
         weights = (1 << np.arange(w, dtype=np.uint32))
         digs = (bits.astype(np.uint32) * weights).sum(axis=2, dtype=np.uint32)
-        digs = np.ascontiguousarray(digs.T.astype(np.uint32))
-        return digs if as_numpy else jnp.asarray(digs)
+        digs = np.ascontiguousarray(digs.T)
+        return out(digs)
 
     def obfuscate(self, ct_mont: jnp.ndarray) -> jnp.ndarray:
         """Multiply in a fresh obfuscator (re-randomization / applyObfuscator,
@@ -704,6 +722,12 @@ def _encrypt_raw(m_limbs, n_limbs, ctx, L):
     mn = big_mul(m_limbs, n_limbs, out_limbs=L)
     ct = normalize(mn.at[0].add(1))
     return mg.to_mont(ct, ctx)
+
+
+@partial(jax.jit, static_argnames=("L",))
+def _zero_extend_rows(x, L):
+    """(Lb, B) -> (L, B) with zero rows appended (device-side)."""
+    return jnp.pad(x, ((0, L - x.shape[0]), (0, 0)))
 
 
 @partial(jax.jit, static_argnames=("L",))

@@ -11,8 +11,12 @@ the suite on the real device instead.
 
 import os
 
+# CPU tests get their OWN persistent cache: sharing .jax_cache with a
+# concurrently-running TPU process produced a segfault inside jax's
+# cache writer (round 4), and CPU AOT entries written by another machine
+# trip the machine-feature mismatch loader warning (risk of SIGILL).
 _CACHE = os.path.join(os.path.dirname(os.path.dirname(__file__)),
-                      ".jax_cache")
+                      ".jax_cache_cpu")
 
 if not os.environ.get("PAILLIER_TPU_TESTS"):
     import jax
