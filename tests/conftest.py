@@ -11,19 +11,16 @@ the suite on the real device instead.
 
 import os
 
-# CPU tests get their OWN persistent cache: sharing .jax_cache with a
-# concurrently-running TPU process produced a segfault inside jax's
-# cache writer (round 4), and CPU AOT entries written by another machine
-# trip the machine-feature mismatch loader warning (risk of SIGILL).
-_CACHE = os.path.join(os.path.dirname(os.path.dirname(__file__)),
-                      ".jax_cache_cpu")
-
 if not os.environ.get("PAILLIER_TPU_TESTS"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", _CACHE)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # NO persistent compilation cache on the CPU suite (CPU AOT entries
+    # are machine-feature-pinned; cache writes added a crash surface).
+    # ALSO: do not run this suite while a TPU process is live on the
+    # same host — the XLA:CPU compile of the RNS-decrypt program
+    # segfaulted twice in round 4 only when a TPU/relay process ran
+    # concurrently, and passed cleanly (same shapes) standalone.
     try:
         jax.config.update("jax_num_cpu_devices", 8)
     except Exception:
