@@ -536,7 +536,11 @@ class PublicContext:
         """
         from ..ops import rns as _rns
 
-        B = ct.shape[1]
+        B0 = ct.shape[1]
+        B = B0 if B0 >= 128 else max(8, 1 << (B0 - 1).bit_length())
+        if B != B0:
+            ones = jnp.broadcast_to(self.ctx.one, (ct.shape[0], B - B0))
+            ct = jnp.concatenate([ct, ones], axis=1)
         exps = list(exponents) + [0] * (B - len(exponents))
         fixed = _config.get_config().fixed_shape_ops
         maxbits = max((int(e).bit_length() for e in exps), default=1)
@@ -558,8 +562,9 @@ class PublicContext:
                 nw = min(nw_full, max(4, 1 << max(0, needed - 1)
                                       .bit_length()))
             digits = mg.exponent_digits(exps, nw, w)
-            return _rns.rns_pow_elem(ct, jnp.asarray(digits), base, key,
-                                     self.ctx, w, self.L)
+            out = _rns.rns_pow_elem(ct, jnp.asarray(digits), base, key,
+                                    self.ctx, w, self.L)
+            return out if B == B0 else out[:, :B0]
 
         if fixed:
             n_win_needed = self.n_win_ct
@@ -569,8 +574,9 @@ class PublicContext:
         digits = mg.exponent_digits(exps, n_win_total, WINDOW)
         win_start = n_win_total - n_win_needed
         # digits stay numpy so the dispatcher's window-bucket slice is free
-        return mg.mont_exp(ct, digits, self.ctx, window=WINDOW,
-                           win_start=win_start)
+        out = mg.mont_exp(ct, digits, self.ctx, window=WINDOW,
+                          win_start=win_start)
+        return out if B == B0 else out[:, :B0]
 
     def gather_batch(self, ct: jnp.ndarray, idx: np.ndarray) -> jnp.ndarray:
         """Select/duplicate ciphertext columns: out[:, j] = ct[:, idx[j]].
@@ -881,7 +887,16 @@ class PrivateContext:
         the vector lanes full (the reference backend runs them as separate
         CPU loops inside ipcl::PrivateKey::decrypt).
         """
-        B = ct_mont.shape[1]
+        B0 = ct_mont.shape[1]
+        # Bucket small batch widths to powers of two: every distinct
+        # width compiles its own (large) decrypt program, and matmul
+        # outputs arrive at many odd widths.  Padding columns hold the
+        # Montgomery one (a valid encryption of zero).
+        B = B0 if B0 >= 128 else max(8, 1 << (B0 - 1).bit_length())
+        if B != B0:
+            pad_cols = jnp.broadcast_to(self.pub.ctx.one,
+                                        (ct_mont.shape[0], B - B0))
+            ct_mont = jnp.concatenate([ct_mont, pad_cols], axis=1)
         # Three jitted stages rather than one: XLA's compile time explodes
         # (~1s/stage separate vs ~7min fused) when the reduce, the Pallas
         # modexp and the recombination land in a single program.
@@ -901,10 +916,11 @@ class PrivateContext:
         else:
             u = _crt_stage_exp(base_m, self._sq_ctx(B), self.exp_digits_pq,
                                self.n_win_dec)
-        return _crt_stage_recombine(
+        out = _crt_stage_recombine(
             u, self._pq_ctx(B), self._q_ctx, self.pinv_R, self.qinv_R,
             self.hpR, self.hqR, self.p_limbs, self.q_limbs, self.pinvqR,
             self.Lh, self.Lq, self.pub.Ln)
+        return out if B == B0 else out[:, :B0]
 
     def _rns_exp_halves(self, base_m: jnp.ndarray):
         """Stage 2 on the RNS engine: the two half-width exponentiations

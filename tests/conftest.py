@@ -28,3 +28,14 @@ if not os.environ.get("PAILLIER_TPU_TESTS"):
             os.environ.get("XLA_FLAGS", "")
             + " --xla_force_host_platform_device_count=8"
         ).strip()
+
+
+def pytest_collection_modifyitems(items):
+    """Run the heaviest-compile files FIRST: the XLA:CPU compiler has
+    segfaulted compiling the big RNS programs late in long sessions
+    (hundreds of compiled programs in-process), while the same compiles
+    succeed in a fresh process.  Front-loading them keeps the suite off
+    that cliff; the bucketed decrypt/mul widths (models/paillier.py)
+    reduce how many such compiles exist at all."""
+    heavy = ("test_parity_2048.py", "test_kat.py")
+    items.sort(key=lambda it: 0 if it.fspath.basename in heavy else 1)
