@@ -116,6 +116,8 @@ def decode_limbs16(arr, count: int, exps, n: int, max_int: int):
     Returns None when the C extension is unavailable (callers fall back
     to limb unpack + the scalar decode loop)."""
     import numpy as np
+    if os.environ.get("PAILLIER_NO_C_DECODE") == "1":
+        return None   # A/B switch for debugging host-decode issues
     mod = _load()
     if not mod or not hasattr(mod, "decode_limbs16"):
         return None

@@ -37,5 +37,6 @@ def pytest_collection_modifyitems(items):
     succeed in a fresh process.  Front-loading them keeps the suite off
     that cliff; the bucketed decrypt/mul widths (models/paillier.py)
     reduce how many such compiles exist at all."""
-    heavy = ("test_parity_2048.py", "test_kat.py")
+    heavy = ("test_parity_2048.py", "test_kat.py", "test_parallel.py",
+             "test_pallas_rns.py", "test_rns.py")
     items.sort(key=lambda it: 0 if it.fspath.basename in heavy else 1)
