@@ -31,7 +31,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops import limb
 from ..ops.limb import (
     LIMB_BITS, LIMB_DTYPE, int_to_limbs, ints_to_limbs, limbs_to_ints,
     limbs_for_bits, big_mul, normalize, cond_sub,

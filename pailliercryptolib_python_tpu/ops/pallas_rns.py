@@ -30,8 +30,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .rns import (RnsBase, RnsModulus, _cmul, _redc, _submod, _addmod,
-                  MASK16)
+from .rns import RnsBase, RnsModulus, _cmul, _redc, _submod, _addmod
 
 INTERPRET = False
 
