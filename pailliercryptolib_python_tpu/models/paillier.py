@@ -454,6 +454,13 @@ class PublicContext:
         B = ct_mont.shape[1]
         if self.enable_DJN:
             digits = self.sample_obfuscator_digits(B)
+            plan = self._rns_enc_plan()
+            if plan is not None:
+                from ..ops import rns as _rns
+                base, key = plan
+                return _rns.rns_comb_product(
+                    ct_mont, self.comb_rns, jnp.asarray(digits), base,
+                    key, self.ctx, self.L, mont_input=True)
             return _obfuscate_djn(ct_mont, digits, self.comb_table, self.ctx)
         # plain Paillier: obf = r^n, r random in [1, n)
         rs = [secrets.randbelow(self.n - 1) + 1 for _ in range(B)]

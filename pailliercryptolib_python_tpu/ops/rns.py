@@ -623,20 +623,25 @@ def rns_exp_elem(X, digits, base: RnsBase, key: RnsModulus, window: int):
     return lax.fori_loop(0, n_win, body, table[0])
 
 
-@partial(jax.jit, static_argnames=("L",))
+@partial(jax.jit, static_argnames=("L", "mont_input"))
 def rns_comb_product(ct_raw, comb_rns, digits, base: RnsBase,
-                     key: RnsModulus, sq_ctx, L: int):
-    """The DJN encrypt chain on the RNS engine: canonical (1+mn) limbs
-    (L, B) times the gathered fixed-base comb factors, zero squarings.
+                     key: RnsModulus, sq_ctx, L: int,
+                     mont_input: bool = False):
+    """The DJN comb chain on the RNS engine: the input times the
+    gathered fixed-base comb factors, zero squarings.
 
     comb_rns: (n_win, CH, 2^w) — the per-key comb table's entries as
     RNS states of f*M (converted once per key via rns_enter).
     digits: (n_win, B) LSB-window-first obfuscator digits.
+    mont_input=False: input is canonical (1+mn) — the ENCRYPT chain
+    (the entered value carries an R^-1, folded out by |R^4 M^-1|).
+    mont_input=True: input is an existing Montgomery-limb ciphertext —
+    RE-RANDOMIZATION (applyObfuscator); the fold is |R^3 M^-1|.
     Returns Montgomery-limb ciphertexts (L, B), < 2m — bit-compatible
-    with the positional-limb encrypt path after canonicalization.
+    with the positional-limb comb path after canonicalization.
     """
     n_win = digits.shape[0]
-    X = rns_enter(ct_raw, base, key)     # value (1+mn) * R^-1, M-form
+    X = rns_enter(ct_raw, base, key)
 
     def mul(a, b):
         if mg._on_tpu():
@@ -653,7 +658,10 @@ def rns_comb_product(ct_raw, comb_rns, digits, base: RnsBase,
         return mul(acc, fac)
 
     Z = lax.fori_loop(0, n_win, body, X)
-    return rns_exit_mont(Z, base, key, sq_ctx, L)
+    z_limbs = _exit_limbs(Z, base)
+    t = mg.mont_reduce_wide(z_limbs, sq_ctx)
+    fold = key.k4_limbs if mont_input else _k5_limbs(base.mbits, key.m, L)
+    return mg.mont_mul(t, fold, sq_ctx)
 
 
 @partial(jax.jit, static_argnames=("window", "L"))

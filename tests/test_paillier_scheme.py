@@ -220,3 +220,40 @@ def test_rns_encrypt_matches_limb_encrypt():
         assert priv.decrypt_to_ints(ct2, len(msgs)) == msgs
     finally:
         cfg.set_config(encrypt_engine=prev)
+
+
+def test_rns_obfuscate_matches_limb():
+    """Re-randomization (applyObfuscator) on the RNS comb must equal the
+    positional-limb path given the same digits."""
+    import jax.numpy as jnp
+    from pailliercryptolib_python_tpu.models import paillier as sch
+    from pailliercryptolib_python_tpu.ops import rns as _rns
+    from pailliercryptolib_python_tpu.utils.fixtures import fixed_key_ints
+    from pailliercryptolib_python_tpu.utils import config as cfg
+
+    kd = fixed_key_ints(256)
+    pub = sch.PublicContext(kd["n"], kd["bits"], True, kd["hs"],
+                            kd["randbits"])
+    priv = sch.PrivateContext(pub, kd["p"], kd["q"])
+    import random
+    r = random.Random(8)
+    msgs = [r.randrange(kd["n"]) for _ in range(9)]
+    ct = pub.encrypt(msgs, apply_obfuscator=False)
+    digits = pub.sample_obfuscator_digits(ct.shape[1])
+
+    want = pub.export_cts(
+        sch._obfuscate_djn(ct, digits, pub.comb_table, pub.ctx), len(msgs))
+    prev = cfg.get_config().encrypt_engine
+    cfg.set_config(encrypt_engine="rns")
+    try:
+        base, key = pub._rns_enc_plan()
+        got_dev = _rns.rns_comb_product(ct, pub.comb_rns,
+                                        jnp.asarray(digits), base, key,
+                                        pub.ctx, pub.L, mont_input=True)
+        got = pub.export_cts(got_dev, len(msgs))
+        assert got == want, "RNS obfuscate != limb obfuscate"
+        # and through the public API path + decrypt round-trip
+        ct2 = pub.obfuscate(ct)
+        assert priv.decrypt_to_ints(ct2, len(msgs)) == msgs
+    finally:
+        cfg.set_config(encrypt_engine=prev)
