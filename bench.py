@@ -648,7 +648,7 @@ def main():
         f"{results['headline_host_s'] * 1e3:.0f} ms + device "
         f"{results['headline_dev_s'] * 1e3:.0f} ms for B={B}); "
         f"device-path-only: {B / results['headline_dev_s']:.1f} enc/s")
-    print(json.dumps({
+    line = {
         "metric": "paillier_2048_encrypt_throughput",
         "value": round(enc_per_s, 1),
         "unit": "enc/s/chip",
@@ -657,7 +657,18 @@ def main():
         # denominator is the analytic Xeon estimate from the module
         # docstring — flag it so the ratio is read with that caveat
         "vs_baseline_estimated": True,
-    }))
+    }
+    # scaling headline: the measured (contention-normalized) collective
+    # efficiency, surfaced here so the recorded tail always carries it
+    if "Scaling_8chip_measured_eff" in results:
+        line["scaling_eff_tpu_measured"] = round(
+            results["Scaling_8chip_measured_eff"], 4)
+    cpu_mesh = results.get("scaling_cpu_mesh", {})
+    if cpu_mesh.get("collective_efficiency"):
+        line["scaling_collective_eff_8dev_cpu"] = cpu_mesh[
+            "collective_efficiency"].get("8")
+        line["scaling_control_1dev_ok"] = cpu_mesh.get("control_1dev_ok")
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -370,17 +370,32 @@ class PublicContext:
         limbs they need — power-of-two bucketed — and zero-extend on
         device, cutting host->device bytes by up to Ln/Lmin (the relay
         makes H2D the e2e federated bottleneck; a local PCIe/ICI link
-        cares less but still saves bandwidth)."""
+        cares less but still saves bandwidth).
+
+        Under config.fixed_shape_ops the fast path is disabled: every
+        batch packs and transfers the full Ln limbs, so H2D size and the
+        downstream program shape are independent of plaintext magnitude
+        (the timing side channel the knob closes for the other ops)."""
         B = pad_to or pad_batch(len(encodings))
-        maxbits = max((int(e).bit_length() for e in encodings), default=1)
-        Lmin = max(1, limbs_for_bits(maxbits))
-        if Lmin <= self.Ln // 2:
-            Lb = min(self.Ln, 1 << (Lmin - 1).bit_length())
+        Lb = self.transfer_limbs(
+            max((int(e).bit_length() for e in encodings), default=1))
+        if Lb < self.Ln:
             arr = ints_to_limbs(
                 list(encodings) + [0] * (B - len(encodings)), Lb)
             return _zero_extend_rows(jnp.asarray(arr), self.Ln)
         arr = ints_to_limbs(list(encodings) + [0] * (B - len(encodings)), self.Ln)
         return jnp.asarray(arr)
+
+    def transfer_limbs(self, maxbits: int) -> int:
+        """Limb rows actually packed/transferred for a batch whose widest
+        encoding has `maxbits` bits (power-of-two bucketed; always the
+        full Ln under config.fixed_shape_ops)."""
+        if _config.get_config().fixed_shape_ops:
+            return self.Ln
+        Lmin = max(1, limbs_for_bits(maxbits))
+        if Lmin <= self.Ln // 2:
+            return min(self.Ln, 1 << (Lmin - 1).bit_length())
+        return self.Ln
 
     # -- core ops ------------------------------------------------------------
 
@@ -508,8 +523,13 @@ class PublicContext:
         disabled / the mod-n^2 channel count exceeds the kernel bounds.
         Built lazily once per key."""
         if self._rns_mul is None:
-            eng = _config.get_config().decrypt_engine
-            ok = eng in ("auto", "rns")
+            # The RNS number system serves three ops (CRT decrypt, ct*pt,
+            # encrypt comb); the mul/encrypt plan is enabled when EITHER
+            # engine knob allows RNS, so encrypt_engine="rns" works even
+            # with decrypt_engine="limb" (they were coupled before r5).
+            cfg = _config.get_config()
+            ok = (cfg.decrypt_engine in ("auto", "rns")
+                  or cfg.encrypt_engine in ("auto", "rns"))
             plan = False
             if ok:
                 from ..ops import rns as _rns

@@ -675,12 +675,17 @@ def exponent_digits(exps, n_win: int, window: int,
     buffer directly; other windows <= 16 go through the C extension's
     bit-window extractor (native.extract_windows — the RNS chains use
     windows 3/5).  Per-digit Python loop only as a last resort."""
+    # Mask to the digit span: the pure-Python fallback silently truncates
+    # to n_win digits, so the bytes paths must agree (and to_bytes would
+    # raise OverflowError on wider-than-span exponents).
+    emask = (1 << (n_win * window)) - 1
     if window not in (4, 8):
         B = len(exps)
         if window <= 16:
             from .. import native
             rbytes = -(-n_win * window // 8) + 4
-            buf = b"".join(int(e).to_bytes(rbytes, "little") for e in exps)
+            buf = b"".join((int(e) & emask).to_bytes(rbytes, "little")
+                           for e in exps)
             digs = native.extract_windows(buf, B, rbytes, window, n_win)
             if digs is not None:
                 digs = np.ascontiguousarray(digs.astype(np.uint32))
@@ -698,7 +703,8 @@ def exponent_digits(exps, n_win: int, window: int,
         return np.ascontiguousarray(out)
 
     nbytes = -(-n_win * window // 8)
-    buf = b"".join(int(e).to_bytes(nbytes, "little") for e in exps)
+    buf = b"".join((int(e) & emask).to_bytes(nbytes, "little")
+                   for e in exps)
     arr = np.frombuffer(buf, dtype=np.uint8).reshape(len(exps), nbytes)
     if window == 8:
         digs = arr[:, :n_win]

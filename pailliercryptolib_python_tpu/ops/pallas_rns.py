@@ -22,6 +22,7 @@ path); tests/test_pallas_rns.py asserts bit-identical outputs.
 from __future__ import annotations
 
 import functools
+from collections import OrderedDict
 
 import numpy as np
 import jax
@@ -79,7 +80,18 @@ def _center_stack(lo: np.ndarray, hi: np.ndarray):
     return E.astype(np.float32).astype(jnp.bfloat16), CS
 
 
-_PACK_CACHE = {}
+# Bounded LRU keyed by (mbits, m): m is key-derived (p^2/q^2/n^2), so an
+# unbounded cache would both grow without limit in long-lived multi-key
+# services and retain key material past the key's lifetime.  16 entries
+# covers 5 concurrently hot keys (n^2 + both CRT halves each).
+_PACK_CACHE: "OrderedDict[tuple, dict]" = OrderedDict()
+_PACK_CACHE_MAX = 16
+
+
+def pack_evict(m: int) -> None:
+    """Drop cached constant bundles for modulus m (key retirement)."""
+    for ck in [ck for ck in _PACK_CACHE if ck[1] == m]:
+        del _PACK_CACHE[ck]
 
 
 def pack(mbits: int, m: int):
@@ -92,6 +104,7 @@ def pack(mbits: int, m: int):
     ck = (mbits, m)
     hit = _PACK_CACHE.get(ck)
     if hit is not None:
+        _PACK_CACHE.move_to_end(ck)
         return hit
     from .rns import modulus_vectors
     base = RnsBase.for_bits(mbits)
@@ -122,6 +135,8 @@ def pack(mbits: int, m: int):
     out = dict(vec=vec, skc=skc, E1=E1, CS1=CS1, E2=E2, CS2=CS2,
                one=one, CHP=CHP)
     _PACK_CACHE[ck] = out
+    while len(_PACK_CACHE) > _PACK_CACHE_MAX:
+        _PACK_CACHE.popitem(last=False)
     return out
 
 

@@ -257,3 +257,52 @@ def test_rns_obfuscate_matches_limb():
         assert priv.decrypt_to_ints(ct2, len(msgs)) == msgs
     finally:
         cfg.set_config(encrypt_engine=prev)
+
+
+def test_encrypt_engine_decoupled_from_decrypt_engine():
+    """encrypt_engine="rns" must select the RNS encrypt plan even when
+    decrypt_engine="limb" (the plans were coupled through the decrypt
+    knob before round 5 — ADVICE r4)."""
+    from pailliercryptolib_python_tpu.models import paillier as sch
+    from pailliercryptolib_python_tpu.utils.fixtures import fixed_key_ints
+    from pailliercryptolib_python_tpu.utils import config as cfg
+
+    kd = fixed_key_ints(256)
+    prev_d = cfg.get_config().decrypt_engine
+    prev_e = cfg.get_config().encrypt_engine
+    cfg.set_config(decrypt_engine="limb", encrypt_engine="rns")
+    try:
+        pub = sch.PublicContext(kd["n"], kd["bits"], True, kd["hs"],
+                                kd["randbits"])
+        priv = sch.PrivateContext(pub, kd["p"], kd["q"])
+        assert pub._rns_enc_plan() is not None
+        assert not priv.use_rns
+        msgs = [5, 17, 23, 2**40 + 1]
+        ct = pub.encrypt(msgs, apply_obfuscator=True)
+        assert priv.decrypt_to_ints(ct, len(msgs)) == msgs
+        # both knobs limb: no RNS plan anywhere
+        cfg.set_config(encrypt_engine="limb")
+        pub2 = sch.PublicContext(kd["n"], kd["bits"], True, kd["hs"],
+                                 kd["randbits"])
+        assert pub2._rns_enc_plan() is None
+        assert pub2._rns_mul_plan() is None
+    finally:
+        cfg.set_config(decrypt_engine=prev_d, encrypt_engine=prev_e)
+
+
+def test_exponent_digits_masks_out_of_range():
+    """Both bytes paths must agree with the pure-Python fallback's
+    silent truncation for exponents wider than the digit span (the C
+    path used to raise OverflowError instead — ADVICE r4)."""
+    from pailliercryptolib_python_tpu.ops import montgomery as mg
+    import numpy as np
+
+    wide = (1 << 100) + 12345
+    for window, n_win in ((4, 8), (8, 4), (5, 6), (3, 10)):
+        digs = mg.exponent_digits([wide, 7], n_win, window)
+        mask = (1 << (n_win * window)) - 1
+        out = np.zeros((n_win, 2), dtype=np.uint32)
+        for b, e in enumerate((wide & mask, 7)):
+            for j in range(n_win):
+                out[j, b] = (e >> (window * j)) & ((1 << window) - 1)
+        assert np.array_equal(digs, out[::-1]), (window, n_win)

@@ -131,7 +131,17 @@ def main():
         nd: round(t1 / t, 4) for nd, t in results["weak_scaling_ms"].items()}
     results["control_1dev_ok"] = (
         0.9 <= results["collective_efficiency"]["1"] <= 1.0)
-    print(json.dumps(results))
+    # Emit the HEADLINE metrics LAST: downstream consumers record a
+    # truncated tail of the output, and the contention-confounded raw
+    # ratio above must never be the only number that survives.  The
+    # normalized headline is collective_efficiency (t_local/t_full at
+    # the same N — identical compute, differs only by the cross-device
+    # gather+fold) with its 1-device control.
+    order = ["bits", "per_device_batch", "host_cores", "err_ms",
+             "weak_scaling_ms", "weak_efficiency_vs_1dev",
+             "collective_delta_ms", "collective_efficiency",
+             "control_1dev_ok"]
+    print(json.dumps({k: results[k] for k in order}))
 
 
 if __name__ == "__main__":
