@@ -156,3 +156,58 @@ def test_elementwise_spmd_adds_no_collectives(setup):
     red = jax.jit(lambda a: sharded_he_sum(a, pub.ctx, mesh))
     rtxt = red.lower(ct).compile().as_text()
     assert "all-gather" in rtxt, "he_sum should gather per-device partials"
+
+
+def test_sharded_decrypt_no_batch_collectives(setup):
+    """CRT decrypt of a batch-sharded ciphertext runs SPMD: the compiled
+    program contains NO batch-axis collective (all-gather / all-to-all /
+    collective-permute / all-reduce), and the sharded result matches the
+    single-device decrypt (VERDICT r4 next #5 — the expensive half of
+    the op suite partitions along B like everything else)."""
+    from pailliercryptolib_python_tpu.parallel import sharded_ops as so
+
+    kd, pub, priv, mesh = setup
+    B = 64
+    vals = [int(v) for v in rng.integers(0, 2**62, size=B)]
+    ct = pmesh.shard_batch(pub.encrypt(vals), mesh)
+
+    txt = so.lower_sharded_decrypt(priv, ct, mesh)
+    for coll in ("all-gather", "all-reduce", "collective-permute",
+                 "all-to-all"):
+        assert coll not in txt, f"unexpected {coll} in sharded decrypt"
+
+    out = so.sharded_decrypt(priv, ct, mesh)
+    assert out.sharding == pmesh.batch_sharding(mesh)
+    from pailliercryptolib_python_tpu.ops.limb import limbs_to_ints
+    got = limbs_to_ints(np.asarray(out))[:B]
+    assert got == vals, "sharded decrypt != plaintext oracle"
+
+
+def test_sharded_mul_pt_no_batch_collectives(setup):
+    """ct*pt on batch-sharded ciphertexts + sharded per-element exponent
+    digits: no batch-axis collective; matches the host-path mul_pt."""
+    from pailliercryptolib_python_tpu.parallel import sharded_ops as so
+
+    kd, pub, priv, mesh = setup
+    B = 64
+    vals = [int(v) for v in rng.integers(0, 1000, size=B)]
+    exps = [int(v) for v in rng.integers(1, 2**31, size=B)]
+    ct = pmesh.shard_batch(pub.encrypt(vals, apply_obfuscator=False),
+                           mesh)
+
+    out = so.sharded_mul_pt(pub, ct, exps, mesh)
+    fn = next(f for k, f in so._MUL_CACHE.items()
+              if k[0] == mesh and k[2] == id(pub))
+    plan = pub._rns_mul_plan()
+    w = plan[2] if plan else 4
+    digs = mg.exponent_digits(exps, -(-pub.bits // w), w)
+    txt = fn.lower(ct, jnp.asarray(digs.astype("uint32"))) \
+            .compile().as_text()
+    for coll in ("all-gather", "all-reduce", "collective-permute",
+                 "all-to-all"):
+        assert coll not in txt, f"unexpected {coll} in sharded mul_pt"
+
+    assert out.sharding == pmesh.batch_sharding(mesh)
+    got = priv.decrypt_to_ints(jnp.asarray(np.asarray(out)), B)
+    want = [(v * e) % kd["n"] for v, e in zip(vals, exps)]
+    assert got == want, "sharded mul_pt != plaintext oracle"
