@@ -181,28 +181,25 @@ def bench_key(bits, batches, results, rng, headline_B=None,
                             kd["randbits"])
     priv = sch.PrivateContext(pub, kd["p"], kd["q"])
 
-    t0 = time.perf_counter()
-    _ = pub.comb_table
-    _sync(pub.comb_table)
-    log(f"CombTableBuild/{bits} (w={pub.comb_window}): "
-        f"{(time.perf_counter() - t0) * 1e3:.0f} ms")
-
     enc_plan = pub._rns_enc_plan()
+    if enc_plan is None:
+        # limb engine: the positional comb is the production table.  On
+        # the RNS path it is never touched (the RNS comb builds natively
+        # from the host ladder), so don't spend its HBM/build here.
+        t0 = time.perf_counter()
+        _ = pub.comb_table
+        _sync(pub.comb_table)
+        log(f"CombTableBuild/{bits} (w={pub.comb_window}): "
+            f"{(time.perf_counter() - t0) * 1e3:.0f} ms")
     if enc_plan is not None:
-        try:
-            from pailliercryptolib_python_tpu.ops import rns as _rns
-            base_r, key_r = enc_plan
-            t0 = time.perf_counter()
-            comb_rns = pub.comb_rns
-            _sync(comb_rns[0])
-            log(f"CombRnsConvert/{bits}: "
-                f"{(time.perf_counter() - t0) * 1e3:.0f} ms "
-                f"({comb_rns.size * 4 / 1e6:.0f} MB)")
-        except Exception as e:  # pragma: no cover - bench resilience
-            log(f"CombRnsConvert/{bits} FAILED ({type(e).__name__}: {e}) "
-                f"- falling back to the limb encrypt path")
-            enc_plan = None
-    if enc_plan is not None:
+        from pailliercryptolib_python_tpu.ops import rns as _rns
+        base_r, key_r = enc_plan
+        t0 = time.perf_counter()
+        comb_rns = pub.comb_rns        # native in-RNS bit-doubling build
+        _sync(comb_rns[0])
+        log(f"CombRnsBuild/{bits}: "
+            f"{(time.perf_counter() - t0) * 1e3:.0f} ms "
+            f"({comb_rns.size * 4 / 1e6:.0f} MB)")
 
         def encrypt_device(m_limbs, digits):
             """Production device program: RNS streamed comb product."""

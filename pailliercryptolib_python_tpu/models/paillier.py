@@ -249,6 +249,25 @@ class PublicContext:
         # shrink the window until the per-key table fits the HBM budget
         self.comb_window = _config.choose_comb_window(
             randbits if randbits else (self.bits // 2), self.L, max_w)
+        # When the RNS encrypt engine will carry this key, the binding
+        # table is the RNS comb ((n_win, CH, 2^w) states, ~2x the limb
+        # comb at 2048 and CH/L-ish wider at 4096): shrink the window
+        # until IT fits, instead of locking large keys out of the fast
+        # path (r4 gated 4096 encrypt back to the limb engine; one step
+        # down — w=11 at 4096 — fits the same budget).
+        if self.enable_DJN and (
+                cfg.encrypt_engine == "rns"
+                or (cfg.encrypt_engine == "auto" and mg._on_tpu())):
+            mbits_r = -(-(2 * self.bits + 2) // 64) * 64
+            if mbits_r <= 14000:
+                from ..ops import rns as _rns
+                CH = _rns.RnsBase.for_bits(mbits_r).CH
+                cap = cfg.comb_hbm_budget_bytes // 2
+                w = self.comb_window
+                while w > 2 and \
+                        -(-self.randbits // w) * CH * (1 << w) * 4 > cap:
+                    w -= 1
+                self.comb_window = w
         self.Ln = limbs_for_bits(self.bits)
         self.n_limbs = jnp.asarray(int_to_limbs(n, self.Ln)[:, None])
         # windows for exponents < n (ct*pt path)
@@ -278,9 +297,7 @@ class PublicContext:
             ladder = jnp.asarray(self._host_pow2_ladder())
             self._comb = mg.build_comb_table(ladder, self.ctx,
                                              self.comb_window)
-            _config.comb_registry.register(
-                self, _config.comb_table_bytes(self.randbits, self.L,
-                                               self.comb_window))
+            self._register_tables()
         else:
             _config.comb_registry.touch(self)
         return self._comb
@@ -311,34 +328,46 @@ class PublicContext:
     @property
     def comb_rns(self):
         """The comb table's entries as RNS states of f*M: (n_win, CH,
-        2^w) uint32, converted once per key from the positional-limb
-        comb via rns_enter (entries are Montgomery-limb, = f*R, exactly
-        rns_enter's input contract)."""
+        2^w) uint32, with f = hs^(d * 2^(w*j)) for entry [j][d].
+
+        Built NATIVELY in RNS (round 5): the host pow2 ladder enters RNS
+        once ((CH, randbits) — one plane matmul), then the table grows by
+        bit-doubling: entries [2^b, 2^(b+1)) of every window are one
+        batched RNS product of the existing entries with ladder column
+        w*j+b, using the closure rns_mul(state(a*M), state(b*M)) =
+        state(a*b*M).  w batched products of width n_win*2^b replace the
+        round-4 path (build the full positional comb, then stream 1.6 GB
+        through chunked rns_enter — 54 s at 3072); this neither touches
+        the positional comb nor materializes anything beyond the table
+        itself."""
         if self._comb_rns is None:
-            from ..ops import rns as _rns
             base, key = self._rns_enc_plan()
-            comb = self.comb_table                       # (n_win, L, 2^w)
-            n_win, L, tsize = comb.shape
-            flat = comb.transpose(1, 0, 2).reshape(L, n_win * tsize)
-            CH = base.CH
-            outs = []
-            CHUNK = 32768
-            NE = n_win * tsize
-            for c0 in range(0, NE, CHUNK):
-                c1 = min(NE, c0 + CHUNK)
-                sl = flat[:, c0:c1]
-                if sl.shape[1] < CHUNK and NE > CHUNK:
-                    sl = jnp.pad(sl, ((0, 0), (0, CHUNK - sl.shape[1])))
-                outs.append(_rns.rns_enter(sl, base, key)[:, :c1 - c0])
-            ent = outs[0] if len(outs) == 1 else jnp.concatenate(outs,
-                                                                 axis=1)
-            self._comb_rns = ent.reshape(CH, n_win, tsize).transpose(
-                1, 0, 2)
-            _config.comb_registry.register(
-                self, _config.comb_table_bytes(self.randbits, self.L,
-                                               self.comb_window)
-                + n_win * CH * tsize * 4)
+            w = self.comb_window
+            n_win = -(-self.randbits // w)
+            # 1. enter the host ladder: states of hs^(2^t) * M
+            lad_pos = jnp.asarray(self._host_pow2_ladder())[:, :, 0].T
+            # 2. bit-doubling build as ONE jitted XLA program (the jnp
+            # rns_mont_mul — every step is table-wide and parallel, so
+            # the one-time build is bandwidth-bound, not latency-bound,
+            # and needs no per-width Pallas compiles)
+            self._comb_rns = _build_comb_rns(
+                lad_pos, base, key, w=w, n_win=n_win,
+                randbits=self.randbits)
+            self._register_tables()
         return self._comb_rns
+
+    def _register_tables(self) -> None:
+        """(Re-)register the live per-key device tables with the LRU HBM
+        registry — the total of whichever of the limb comb and the RNS
+        comb currently exist."""
+        total = 0
+        if self._comb is not None:
+            total += _config.comb_table_bytes(self.randbits, self.L,
+                                              self.comb_window)
+        if self._comb_rns is not None:
+            total += int(self._comb_rns.size) * 4
+        if total:
+            _config.comb_registry.register(self, total)
 
     def _host_pow2_ladder(self) -> np.ndarray:
         """P[t] = hs^(2^t) * R mod n^2 (Montgomery form) for t < randbits,
@@ -643,6 +672,36 @@ class PublicContext:
         # pad with 1s (valid ciphertext of 0) to keep values in range
         arr = ints_to_limbs(list(cts) + [1] * (B - len(cts)), self.L)
         return mg.to_mont(jnp.asarray(arr), self.ctx)
+
+
+@partial(jax.jit, static_argnames=("w", "n_win", "randbits"))
+def _build_comb_rns(lad_pos, base, key, *, w, n_win, randbits):
+    """Native in-RNS comb build: positional pow2 ladder (L, randbits) of
+    hs^(2^t)*R -> (n_win, CH, 2^w) states of hs^(d*2^(w*j)) * M.
+
+    Uses the closure rns_mul(state(a*M), state(b*M)) = state(a*b*M): the
+    entries [2^b, 2^(b+1)) of every window are one batched RNS product
+    of the already-built entries with ladder column w*j+b."""
+    from ..ops import rns as _rns
+
+    CH = base.CH
+    lad = _rns.rns_enter(lad_pos, base, key)         # (CH, randbits)
+    one = _rns.rns_one_state(base, key, 1)[:, 0]     # (CH,)
+    pad_cols = n_win * w - randbits                  # identity bits past
+    if pad_cols:                                     # the top of r
+        lad = jnp.concatenate(
+            [lad, jnp.broadcast_to(one[:, None], (CH, pad_cols))], axis=1)
+    lad = lad.reshape(CH, n_win, w)
+    T = jnp.stack([jnp.broadcast_to(one[:, None], (CH, n_win)),
+                   lad[:, :, 0]], axis=2)            # (CH, n_win, 2)
+    for b in range(1, w):
+        half = 1 << b
+        lad_b = jnp.broadcast_to(lad[:, :, b:b + 1], (CH, n_win, half))
+        blk = _rns.rns_mont_mul(T.reshape(CH, n_win * half),
+                                lad_b.reshape(CH, n_win * half),
+                                base, key)
+        T = jnp.concatenate([T, blk.reshape(CH, n_win, half)], axis=2)
+    return T.transpose(1, 0, 2)                      # (n_win, CH, 2^w)
 
 
 @partial(jax.jit, static_argnames=("Lh",))

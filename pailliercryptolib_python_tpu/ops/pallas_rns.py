@@ -94,13 +94,31 @@ def pack_evict(m: int) -> None:
         del _PACK_CACHE[ck]
 
 
-def pack(mbits: int, m: int):
-    """Kernel operand bundle: packed per-channel vector table, SK
-    constants, centered extension matrices and their row sums.
+@functools.lru_cache(maxsize=8)
+def _pack_static(mbits: int):
+    """Base-level (key-independent) kernel operands, as numpy: channel
+    vector table with the key columns zeroed, SK constants, centered
+    extension matrices and their row sums."""
+    base = RnsBase.for_bits(mbits)
+    k, CH = base.k, base.CH
+    CHP = _pad8(CH)
+    vec = np.zeros((CHP, 8), dtype=np.uint32)
+    vec[:, 0] = 1                                     # pad-row modulus
+    vec[:CH, 0] = np.asarray(base.mods)[:, 0]
+    vec[:CH, 1] = np.asarray(base.n0)[:, 0]
+    vec[:CH, 2] = np.asarray(base.w15)[:, 0]
+    vec[k:2 * k, 3] = np.asarray(base.K2g)[:, 0]      # xi' mult (B' rows)
+    skc = np.zeros((8, 1), dtype=np.uint32)
+    skc[0, 0] = np.asarray(base.exit_c)[0, 0]         # |2^48 M'^-1|_mr
+    skc[1, 0] = np.asarray(base.exit_c)[1, 0]         # |M'^-1|_mr
+    E1, CS1 = _center_stack(np.asarray(base.C1_lo), np.asarray(base.C1_hi))
+    E2, CS2 = _center_stack(np.asarray(base.C2_lo), np.asarray(base.C2_hi))
+    return dict(vec=vec, skc=skc, E1=E1, CS1=CS1, E2=E2, CS2=CS2,
+                CHP=CHP)
 
-    Built purely from the STATIC ints (mbits, m) — the RnsBase/RnsModulus
-    pytrees seen at trace time carry tracers, so everything is recomputed
-    from the cached concrete base (numpy; becomes trace constants)."""
+
+def pack(mbits: int, m: int):
+    """Concrete kernel operand bundle for modulus m (numpy; cached)."""
     ck = (mbits, m)
     hit = _PACK_CACHE.get(ck)
     if hit is not None:
@@ -110,34 +128,54 @@ def pack(mbits: int, m: int):
     base = RnsBase.for_bits(mbits)
     kv = modulus_vectors(mbits, m)
     k, CH = base.k, base.CH
-    CHP = _pad8(CH)
-    vec = np.zeros((CHP, 8), dtype=np.uint32)
-    vec[:, 0] = 1                                     # pad-row modulus
-    vec[:CH, 0] = np.asarray(base.mods)[:, 0]
-    vec[:CH, 1] = np.asarray(base.n0)[:, 0]
-    vec[:CH, 2] = np.asarray(base.w15)[:, 0]
+    s = _pack_static(mbits)
+    CHP = s["CHP"]
+    vec = s["vec"].copy()
     vec[:k, 3] = kv["K1"][:, 0]                       # xi mult (B rows)
-    vec[k:2 * k, 3] = np.asarray(base.K2g)[:, 0]      # xi' mult (B' rows)
     vec[k:2 * k + 1, 4] = kv["u5"][:, 0]              # B' ++ m_r
     vec[k:2 * k + 1, 5] = kv["v5"][:, 0]
     vec[:k, 6] = kv["w9a"][:, 0]
     vec[:k, 7] = kv["w9b"][:, 0]
-    skc = np.zeros((8, 1), dtype=np.uint32)
-    skc[0, 0] = np.asarray(base.exit_c)[0, 0]         # |2^48 M'^-1|_mr
-    skc[1, 0] = np.asarray(base.exit_c)[1, 0]         # |M'^-1|_mr
-    E1, CS1 = _center_stack(np.asarray(base.C1_lo), np.asarray(base.C1_hi))
-    E2, CS2 = _center_stack(np.asarray(base.C2_lo), np.asarray(base.C2_hi))
     all_mods = (list(base.mods_B_int) + list(base.mods_Bp_int)
                 + [base.m_r])
     Mm = base.M % m
     one = np.zeros((CHP, 1), dtype=np.uint32)
     one[:CH, 0] = [(Mm % mc) * (1 << 16) % mc for mc in all_mods]
-    out = dict(vec=vec, skc=skc, E1=E1, CS1=CS1, E2=E2, CS2=CS2,
-               one=one, CHP=CHP)
+    out = dict(s, vec=vec, one=one)
     _PACK_CACHE[ck] = out
     while len(_PACK_CACHE) > _PACK_CACHE_MAX:
         _PACK_CACHE.popitem(last=False)
     return out
+
+
+def kernel_operands(base: RnsBase, key: RnsModulus):
+    """Kernel operand bundle, trace-safe.
+
+    Concrete pytrees use the cached numpy path.  Under an outer jit the
+    key-level columns are assembled from the RnsModulus CHILDREN (traced
+    arguments), so the outer program's HLO carries only base-level
+    constants and its hash is key-independent — a new key of the same
+    size hits the persistent compilation cache instead of recompiling
+    the multi-second encrypt/decrypt programs."""
+    import jax.core
+    if not isinstance(key.K1, jax.core.Tracer):
+        return pack(base.mbits, key.m)
+    s = _pack_static(base.mbits)
+    k, CH, CHP = base.k, base.CH, s["CHP"]
+
+    def pad_to(x, lo):
+        return jnp.pad(x, (lo, CHP - lo - x.shape[0]))
+
+    vb = s["vec"]
+    c012 = [jnp.asarray(vb[:, i]) for i in range(3)]
+    c3 = pad_to(jnp.concatenate([key.K1[:, 0], base.K2g[:, 0]]), 0)
+    c4 = pad_to(key.u5[:, 0], k)
+    c5 = pad_to(key.v5[:, 0], k)
+    c6 = pad_to(key.w9a[:, 0], 0)
+    c7 = pad_to(key.w9b[:, 0], 0)
+    vec = jnp.stack(c012 + [c3, c4, c5, c6, c7], axis=1)
+    one = jnp.pad(key.one_ch, ((0, CHP - CH), (0, 0)))
+    return dict(s, vec=vec, one=one)
 
 
 # ---------------------------------------------------------------------------
@@ -399,7 +437,7 @@ def _mul_call(a, b, vec, skc, E1, CS1, E2, CS2, *, tb, k, CH):
 def rns_mul_p(A, B_state, base: RnsBase, key: RnsModulus,
               tb: int = 128):
     """Drop-in for rns.rns_mont_mul on TPU (one product, no chain)."""
-    p = pack(base.mbits, key.m)
+    p = kernel_operands(base, key)
     B = A.shape[1]
     out = _mul_call(A, B_state, p["vec"], p["skc"], p["E1"], p["CS1"],
                     p["E2"], p["CS2"], tb=tb, k=base.k, CH=base.CH)
@@ -409,7 +447,7 @@ def rns_mul_p(A, B_state, base: RnsBase, key: RnsModulus,
 def rns_exp_elem_p(X, digits, base: RnsBase, key: RnsModulus,
                    window: int, tb: int | None = None):
     """Drop-in for rns.rns_exp_elem on TPU: per-element exponents."""
-    p = pack(base.mbits, key.m)
+    p = kernel_operands(base, key)
     tb = tb or tb_for(base.CH, window)
     if tb is None:
         raise ValueError(
@@ -426,7 +464,7 @@ def rns_exp_shared_p(X, digits, base: RnsBase, key: RnsModulus,
     """Drop-in for rns.rns_exp_shared on TPU: X (CH, B) entered state,
     digits (n_win,) MSB-first shared-exponent digits (window must match
     the digit base).  Returns the (CH, B) state of c^e * M."""
-    p = pack(base.mbits, key.m)
+    p = kernel_operands(base, key)
     if window is None:
         window, tb = plan(base.CH)
     tb = tb or tb_for(base.CH, window)

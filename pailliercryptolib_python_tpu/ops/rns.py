@@ -236,10 +236,21 @@ class RnsModulus:
     c_enter: jnp.ndarray     # (CH, 1) |2^64|_{m_ch}  (enter scale fix)
     K3: jnp.ndarray          # (k, 1) = base.K1g (exit xi)
     k4_limbs: jnp.ndarray    # (L, 1) |R^3 M^-1|_m  (exit Montgomery fold)
+    one_ch: jnp.ndarray      # (CH, 1) ch-Mont state of M mod m (RNS "1")
+    k5_limbs: jnp.ndarray    # (L, 1) |R^4 M^-1|_m  (canonical-enter fold)
+
+    # Every m-derived constant a traced program needs is a pytree CHILD
+    # (a runtime argument), never a host-side numpy value: numpy built
+    # from the aux `m` under trace would bake into the HLO as a literal,
+    # making every program hash key-specific — each new key would then
+    # recompile the multi-second encrypt/decrypt/build programs instead
+    # of hitting the persistent compilation cache (round-5 fix for the
+    # "heavy per-key RNS setup" verdict).
 
     def tree_flatten(self):
         return (self.K1, self.u5, self.v5, self.w9a, self.w9b,
-                self.y_enter, self.c_enter, self.K3, self.k4_limbs), (self.m,)
+                self.y_enter, self.c_enter, self.K3, self.k4_limbs,
+                self.one_ch, self.k5_limbs), (self.m,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -259,10 +270,15 @@ class RnsModulus:
         c_enter = np.array([pow(2, 64, mc) for mc in all_mods],
                            dtype=np.uint32)[:, None]
         k4 = pow(R, 3, m) * pow(M % m, -1, m) % m
+        k5 = pow(R, 4, m) * pow(M % m, -1, m) % m
+        Mm = M % m
+        one_ch = np.array([(Mm % mc) * (1 << 16) % mc for mc in all_mods],
+                          dtype=np.uint32)[:, None]
         j = lambda a: jnp.asarray(a)
         return cls(m, j(v["K1"]), j(v["u5"]), j(v["v5"]), j(v["w9a"]),
                    j(v["w9b"]), j(y_enter), j(c_enter), base.K1g,
-                   j(int_to_limbs(k4, L)[:, None]))
+                   j(int_to_limbs(k4, L)[:, None]), j(one_ch),
+                   j(int_to_limbs(k5, L)[:, None]))
 
 
 @lru_cache(maxsize=32)
@@ -460,20 +476,7 @@ def rns_exit_mont(Z, base: RnsBase, key: RnsModulus, sq_ctx, L: int):
     Output < 2m (Walter), i.e. a valid resident ciphertext."""
     z_limbs = _exit_limbs(Z, base)
     t = mg.mont_reduce_wide(z_limbs, sq_ctx)
-    k5 = _k5_limbs(base.mbits, key.m, L)
-    return mg.mont_mul(t, k5, sq_ctx)                   # value * R
-
-
-@lru_cache(maxsize=32)
-def _k5_limbs_np(mbits, m, L):
-    base = RnsBase.for_bits(mbits)
-    R = 1 << (LIMB_BITS * L)
-    return int_to_limbs(pow(R, 4, m) * pow(base.M % m, -1, m) % m,
-                        L)[:, None]
-
-
-def _k5_limbs(mbits, m, L):
-    return _k5_limbs_np(mbits, m, L)
+    return mg.mont_mul(t, key.k5_limbs, sq_ctx)         # value * R
 
 
 def _exit_limbs(Z, base: RnsBase):
@@ -542,13 +545,11 @@ def _M_limbs(base):
 # ---------------------------------------------------------------------------
 
 def rns_one_state(base: RnsBase, key: RnsModulus, B: int):
-    """Ch-Mont RNS state of M mod m (the RNS-Montgomery rep of 1)."""
-    all_mods = (list(base.mods_B_int) + list(base.mods_Bp_int)
-                + [base.m_r])
-    Mm = base.M % key.m
-    arr = np.array([(Mm % mc) * (1 << 16) % mc for mc in all_mods],
-                   dtype=np.uint32)[:, None]
-    return jnp.broadcast_to(arr, (base.CH, B))
+    """Ch-Mont RNS state of M mod m (the RNS-Montgomery rep of 1).
+
+    Reads the key's one_ch CHILD (a traced argument) so the program
+    stays key-independent under jit (see RnsModulus)."""
+    return jnp.broadcast_to(key.one_ch, (base.CH, B))
 
 
 def rns_exp_shared(X, digits, base: RnsBase, key: RnsModulus,
@@ -660,7 +661,7 @@ def rns_comb_product(ct_raw, comb_rns, digits, base: RnsBase,
     Z = lax.fori_loop(0, n_win, body, X)
     z_limbs = _exit_limbs(Z, base)
     t = mg.mont_reduce_wide(z_limbs, sq_ctx)
-    fold = key.k4_limbs if mont_input else _k5_limbs(base.mbits, key.m, L)
+    fold = key.k4_limbs if mont_input else key.k5_limbs
     return mg.mont_mul(t, fold, sq_ctx)
 
 

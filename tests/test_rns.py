@@ -173,3 +173,54 @@ def test_exp_shared_oracle(ebits):
     got = limbs_to_ints(out)
     for c, g in zip(cs, got):
         assert g == pow(c, e, m), "modexp oracle"
+
+
+def test_rns_programs_key_independent_hlo():
+    """Two different keys of the same size must lower to IDENTICAL HLO
+    for the heavy jitted RNS programs: every m-derived constant travels
+    as a pytree child (runtime argument), never a baked literal.  This
+    is what lets a fresh key hit the persistent compilation cache
+    instead of recompiling the multi-second programs (round-5 fix)."""
+    import jax
+    import jax.numpy as jnp
+    from pailliercryptolib_python_tpu.models import paillier as sch
+    from pailliercryptolib_python_tpu.ops import rns as _rns
+    from pailliercryptolib_python_tpu.utils.fixtures import fixed_key_ints
+
+    kd = fixed_key_ints(256, enable_DJN=True)
+    texts = []
+    for seed in (2, 3):
+        # same n (same shapes/base), different hs -> different ladder and
+        # different RnsModulus constants for the SAME modulus size
+        hs = pow(kd["hs"], seed, kd["n"] * kd["n"])
+        pub = sch.PublicContext(kd["n"], kd["bits"], True, hs,
+                                kd["randbits"])
+        base, key = _rns.RnsBase.for_bits(
+            -(-(2 * pub.bits + 2) // 64) * 64), None
+        from pailliercryptolib_python_tpu.ops.rns import RnsModulus
+        key = RnsModulus.build(base, pub.nsquare, pub.L)
+        lad_pos = jnp.asarray(pub._host_pow2_ladder())[:, :, 0].T
+        w = pub.comb_window
+        n_win = -(-pub.randbits // w)
+        low = sch._build_comb_rns.lower(
+            lad_pos, base, key, w=w, n_win=n_win, randbits=pub.randbits)
+        texts.append(low.as_text())
+    assert texts[0] == texts[1], (
+        "baked key-dependent constant in _build_comb_rns HLO")
+
+    # the decrypt half chain: p-half vs q-half of one key must match too
+    pub = sch.PublicContext(kd["n"], kd["bits"], True, kd["hs"],
+                            kd["randbits"])
+    priv = sch.PrivateContext(pub, kd["p"], kd["q"])
+    if priv.use_rns:
+        ct = pub.encrypt([1, 2, 3, 4], apply_obfuscator=False)
+        base_m = sch._crt_stage_reduce(ct, priv._sq_ctx(ct.shape[1]),
+                                       priv.r3_p, priv.r3_q, priv.Lh)
+        B = ct.shape[1]
+        lp = _rns.rns_crt_exp_half.lower(
+            base_m[:, :B], priv.rdig_p, priv.rns_base, priv.rns_p,
+            priv._sq_p, priv.rns_window, priv.Lh).as_text()
+        lq = _rns.rns_crt_exp_half.lower(
+            base_m[:, B:], priv.rdig_q, priv.rns_base, priv.rns_q,
+            priv._sq_q, priv.rns_window, priv.Lh).as_text()
+        assert lp == lq, "baked key-dependent constant in rns_crt_exp_half"
