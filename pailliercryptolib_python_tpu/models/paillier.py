@@ -258,7 +258,7 @@ class PublicContext:
         if self.enable_DJN and (
                 cfg.encrypt_engine == "rns"
                 or (cfg.encrypt_engine == "auto" and mg._on_tpu())):
-            mbits_r = -(-(2 * self.bits + 2) // 64) * 64
+            mbits_r = -(-(2 * self.bits + 2) // 16) * 16
             if mbits_r <= 14000:
                 from ..ops import rns as _rns
                 CH = _rns.RnsBase.for_bits(mbits_r).CH
@@ -563,7 +563,7 @@ class PublicContext:
             if ok:
                 from ..ops import rns as _rns
                 from ..ops import pallas_rns as _prns
-                mbits_r = -(-(2 * self.bits + 2) // 64) * 64
+                mbits_r = -(-(2 * self.bits + 2) // 16) * 16
                 if mbits_r <= 14000:    # k <= 900 channel-count bound
                     base = _rns.RnsBase.for_bits(mbits_r)
                     for w in (4, 3, 2):
@@ -916,7 +916,7 @@ class PrivateContext:
         if self.use_rns:
             from ..ops import rns as _rns
             mb = max(psq.bit_length(), qsq.bit_length())
-            mbits_r = -(-mb // 64) * 64   # round up: share cached bases
+            mbits_r = -(-mb // 16) * 16   # round up: share cached bases
             self.rns_base = _rns.RnsBase.for_bits(mbits_r)
             self.rns_p = _rns.RnsModulus.build(self.rns_base, psq, Lh)
             self.rns_q = _rns.RnsModulus.build(self.rns_base, qsq, Lh)

@@ -31,7 +31,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .rns import RnsBase, RnsModulus, _cmul, _redc, _submod, _addmod
+from .rns import (
+    RnsBase, RnsModulus, _cmul, _cmul2, _combine_planes, _submod)
 
 INTERPRET = False
 
@@ -57,16 +58,28 @@ def plan(CH: int) -> tuple:
     return 2, 128
 
 
-def tb_for(CH: int, window: int) -> int | None:
+def tb_for(CH: int, window: int,
+           tbs: tuple = (128,)) -> int | None:
+    """First batch-tile width in `tbs` whose window table + working set
+    fits scoped VMEM (None if none does, or past the exactness bound)."""
     k = (CH - 1) // 2
     if k > 900:      # exact-f32 MXU accumulation bound (rns.RnsBase)
         return None
     CHP = _pad8(CH)
     rows = (1 << window) * CHP + _WORK_ROWS * CHP
-    for tb in (128,):
+    for tb in tbs:
         if 4 * tb * rows <= _VMEM_BUDGET:
             return tb
     return None
+
+
+def _pick_tb(CH: int, window: int, B: int) -> int | None:
+    """Prefer 256-wide batch tiles for production batches: same VPU work
+    but half the grid steps — measured ~13% faster on the 2048-bit
+    decrypt chain (round 5).  Small batches stay at 128 to bound
+    padding waste."""
+    tbs = (256, 128) if B >= 256 else (128,)
+    return tb_for(CH, window, tbs)
 
 
 # ---------------------------------------------------------------------------
@@ -74,7 +87,12 @@ def tb_for(CH: int, window: int) -> int | None:
 # ---------------------------------------------------------------------------
 
 def _center_stack(lo: np.ndarray, hi: np.ndarray):
-    """[lo; hi] byte planes -> centered bf16 matrix + row-sum vector."""
+    """[lo; hi] byte planes -> centered bf16 matrix + row-sum vector.
+
+    (Round-5 measured NEGATIVE: folding the digit column-sums into the
+    matmul via an appended ones row — 2 wide dots instead of 4 + VPU
+    reductions — was ~8% slower end-to-end, with or without
+    sublane-aligned output blocks.  The VPU reductions stay.)"""
     E = np.concatenate([lo, hi], axis=0).astype(np.int32) - 128
     CS = E.sum(axis=1, keepdims=True).astype(np.int32)
     return E.astype(np.float32).astype(jnp.bfloat16), CS
@@ -106,7 +124,7 @@ def _pack_static(mbits: int):
     vec[:, 0] = 1                                     # pad-row modulus
     vec[:CH, 0] = np.asarray(base.mods)[:, 0]
     vec[:CH, 1] = np.asarray(base.n0)[:, 0]
-    vec[:CH, 2] = np.asarray(base.w15)[:, 0]
+    vec[:CH, 2] = np.asarray(base.n032)[:, 0]
     vec[k:2 * k, 3] = np.asarray(base.K2g)[:, 0]      # xi' mult (B' rows)
     skc = np.zeros((8, 1), dtype=np.uint32)
     skc[0, 0] = np.asarray(base.exit_c)[0, 0]         # |2^48 M'^-1|_mr
@@ -134,7 +152,7 @@ def pack(mbits: int, m: int):
     vec[:k, 3] = kv["K1"][:, 0]                       # xi mult (B rows)
     vec[k:2 * k + 1, 4] = kv["u5"][:, 0]              # B' ++ m_r
     vec[k:2 * k + 1, 5] = kv["v5"][:, 0]
-    vec[:k, 6] = kv["w9a"][:, 0]
+    vec[:k, 6] = kv["w9n"][:, 0]
     vec[:k, 7] = kv["w9b"][:, 0]
     all_mods = (list(base.mods_B_int) + list(base.mods_Bp_int)
                 + [base.m_r])
@@ -171,7 +189,7 @@ def kernel_operands(base: RnsBase, key: RnsModulus):
     c3 = pad_to(jnp.concatenate([key.K1[:, 0], base.K2g[:, 0]]), 0)
     c4 = pad_to(key.u5[:, 0], k)
     c5 = pad_to(key.v5[:, 0], k)
-    c6 = pad_to(key.w9a[:, 0], 0)
+    c6 = pad_to(key.w9n[:, 0], 0)
     c7 = pad_to(key.w9b[:, 0], 0)
     vec = jnp.stack(c012 + [c3, c4, c5, c6, c7], axis=1)
     one = jnp.pad(key.one_ch, ((0, CHP - CH), (0, 0)))
@@ -208,42 +226,36 @@ def _dots_c(xi, E, CS, out_rows):
     return S00, mid, S11
 
 
-def _combine(S00, mid, S11, mods, n0, w15):
-    """ops/rns._combine_planes on kernel values."""
-    lo = (mid & ((1 << 23) - 1)).astype(jnp.uint32)
-    hi = (mid >> 23).astype(jnp.uint32)
-    t = S00.astype(jnp.uint32) + (lo << 8)
-    v = _redc(t, mods, n0) + hi * w15 + S11.astype(jnp.uint32)
-    return _redc(v, mods, n0)
+def _combine(S00, mid, S11, mods, n032):
+    """ops/rns._combine_planes on kernel values (radix-2^32 REDC)."""
+    return _combine_planes(S00, mid, S11, mods, n032)
 
 
 def _mul_val(X, Y, c, *, k, CH, CHP):
     """One RNS-Montgomery product on kernel values ((CHP, TB) uint32).
     `c` is the unpacked constant bundle.  Mirrors rns.rns_mont_mul."""
-    (mods, n0, w15, ximul, u5, v5, w9a, w9b, skc, E1, CS1, E2, CS2) = c
+    (mods, n0, n032, ximul, u5, v5, w9n, w9b, skc, E1, CS1, E2,
+     CS2) = c
     TB = X.shape[1]
     mB, n0B = mods[:k], n0[:k]
-    mT, n0T, w15T = mods[k:CH], n0[k:CH], w15[k:CH]     # B' ++ m_r
+    mT, n0T, n32T = mods[k:CH], n0[k:CH], n032[k:CH]    # B' ++ m_r
     mR, n0R = mods[2 * k:CH], n0[2 * k:CH]
 
     S = _cmul(X, Y, mods, n0)
     xi = _cmul(S[:k], ximul[:k], mB, n0B)
     S00, mid, S11 = _dots_c(xi, E1, CS1, k + 1)
-    Q = _combine(S00, mid, S11, mT, n0T, w15T)
-    Rp = _addmod(_cmul(S[k:CH], u5[k:CH], mT, n0T),
-                 _cmul(Q, v5[k:CH], mT, n0T), mT)
+    Q = _combine(S00, mid, S11, mT, n32T)
+    Rp = _cmul2(S[k:CH], u5[k:CH], Q, v5[k:CH], mT, n0T)
     xip = _cmul(Rp[:k], ximul[k:2 * k], mods[k:2 * k], n0[k:2 * k])
     T00, tmid, T11 = _dots_c(xip, E2, CS2, k + 1)
     tgt_m = jnp.concatenate([mB, mR], axis=0)
-    tgt_n0 = jnp.concatenate([n0B, n0R], axis=0)
-    tgt_w15 = jnp.concatenate([w15[:k], w15[2 * k:CH]], axis=0)
-    Zh = _combine(T00, tmid, T11, tgt_m, tgt_n0, tgt_w15)
+    tgt_n32 = jnp.concatenate([n032[:k], n032[2 * k:CH]], axis=0)
+    Zh = _combine(T00, tmid, T11, tgt_m, tgt_n32)
     a = _cmul(Zh[k:], skc[0:1], mR, n0R)
     b = _cmul(Rp[k:], skc[1:2], mR, n0R)
     delta = _submod(a, b, mR)
-    t2 = _cmul(jnp.broadcast_to(delta, (k, TB)), w9a[:k], mB, n0B)
-    d = _submod(Zh[:k], t2, mB)
-    Z = _cmul(d, w9b[:k], mB, n0B)
+    deltab = jnp.broadcast_to(delta, (k, TB))
+    Z = _cmul2(Zh[:k], w9b[:k], deltab, w9n[:k], mB, n0B)
     pad = jnp.zeros((CHP - CH, TB), dtype=jnp.uint32)
     return jnp.concatenate([Z, Rp, pad], axis=0)
 
@@ -435,10 +447,11 @@ def _mul_call(a, b, vec, skc, E1, CS1, E2, CS2, *, tb, k, CH):
 
 
 def rns_mul_p(A, B_state, base: RnsBase, key: RnsModulus,
-              tb: int = 128):
+              tb: int | None = None):
     """Drop-in for rns.rns_mont_mul on TPU (one product, no chain)."""
     p = kernel_operands(base, key)
     B = A.shape[1]
+    tb = tb or (256 if B >= 256 else 128)
     out = _mul_call(A, B_state, p["vec"], p["skc"], p["E1"], p["CS1"],
                     p["E2"], p["CS2"], tb=tb, k=base.k, CH=base.CH)
     return out[:base.CH, :B]
@@ -448,7 +461,7 @@ def rns_exp_elem_p(X, digits, base: RnsBase, key: RnsModulus,
                    window: int, tb: int | None = None):
     """Drop-in for rns.rns_exp_elem on TPU: per-element exponents."""
     p = kernel_operands(base, key)
-    tb = tb or tb_for(base.CH, window)
+    tb = tb or _pick_tb(base.CH, window, X.shape[1])
     if tb is None:
         raise ValueError(
             f"rns_exp_elem_p: window {window} exceeds VMEM at CH={base.CH}")
@@ -467,7 +480,8 @@ def rns_exp_shared_p(X, digits, base: RnsBase, key: RnsModulus,
     p = kernel_operands(base, key)
     if window is None:
         window, tb = plan(base.CH)
-    tb = tb or tb_for(base.CH, window)
+        tb = None
+    tb = tb or _pick_tb(base.CH, window, X.shape[1])
     if tb is None:
         raise ValueError(
             f"rns_exp_shared_p: window {window} exceeds VMEM at CH={base.CH}")

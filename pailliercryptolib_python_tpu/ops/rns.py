@@ -88,6 +88,10 @@ def _channels_for(mbits: int):
         logMk = sum(float(np.log2(primes[2 * i])) for i in range(k))
         if logMk >= need + 1:
             break
+    # (Round-5 measured NEGATIVE: rounding k up to a multiple of 8 for
+    # sublane-aligned row slices was within noise at tb=128 and ~2%
+    # slower at tb=256 — Mosaic handles the unaligned slices fine, so
+    # the minimal channel count wins.)
     mods_B = [primes[2 * i] for i in range(k)]
     mods_Bp = [primes[2 * i + 1] for i in range(k)]
     m_r = primes[2 * k]
@@ -124,7 +128,7 @@ class RnsBase:
     # device arrays (children)
     mods: jnp.ndarray        # (CH, 1) uint32 channel moduli [B | B' | m_r]
     n0: jnp.ndarray          # (CH, 1) uint32 = -m^-1 mod 2^16
-    w15: jnp.ndarray         # (CH, 1) |2^15|_m  (plane-combine hi fold)
+    n032: jnp.ndarray        # (CH, 1) uint32 = -m^-1 mod 2^32 (combine)
     # first extension  xi(B) -> q_hat(B' + m_r):  (k+1, k) byte planes
     C1_lo: jnp.ndarray
     C1_hi: jnp.ndarray
@@ -139,7 +143,7 @@ class RnsBase:
     exit_c: jnp.ndarray      # (3, 1): [|2^48 M^-1|, |M^-1 2^16|, 1]_{m_r}
 
     def tree_flatten(self):
-        children = (self.mods, self.n0, self.w15, self.C1_lo, self.C1_hi,
+        children = (self.mods, self.n0, self.n032, self.C1_lo, self.C1_hi,
                     self.C2_lo, self.C2_hi, self.W_lo, self.W_hi,
                     self.K1g, self.K2g, self.exit_c)
         aux = (self.mbits, self.k, self.M, self.Mp, self.m_r,
@@ -167,8 +171,8 @@ class RnsBase:
         mods = np.array(all_mods, dtype=np.uint32)[:, None]
         n0 = np.array([(-pow(m, -1, 1 << 16)) % (1 << 16)
                        for m in all_mods], dtype=np.uint32)[:, None]
-        w15 = np.array([(1 << 15) % m for m in all_mods],
-                       dtype=np.uint32)[:, None]
+        n032 = np.array([(-pow(m, -1, 1 << 32)) % (1 << 32)
+                         for m in all_mods], dtype=np.uint32)[:, None]
         # C1[j, i] = (M/m_i) mod target_j, targets = B' ++ [m_r]
         tgt1 = mods_Bp + [m_r]
         C1 = np.zeros((k + 1, k), dtype=np.uint32)
@@ -212,7 +216,7 @@ class RnsBase:
         C2_lo, C2_hi = _byte_planes(C2)
         W_lo, W_hi = _byte_planes(W)
         return cls(mbits, k, M, Mp, m_r, tuple(mods_B), tuple(mods_Bp),
-                   j(mods), j(n0), j(w15), j(C1_lo), j(C1_hi), j(C2_lo),
+                   j(mods), j(n0), j(n032), j(C1_lo), j(C1_hi), j(C2_lo),
                    j(C2_hi), j(W_lo), j(W_hi), j(K1g), j(K2g), j(exit_c))
 
 
@@ -230,7 +234,7 @@ class RnsModulus:
     K1: jnp.ndarray          # (k, 1)  |-m^-1 (M/m_i)^-1|_{m_i}
     u5: jnp.ndarray          # (k+1, 1) |M^-1 2^16|   on B' ++ m_r
     v5: jnp.ndarray          # (k+1, 1) |m M^-1 2^64| on B' ++ m_r
-    w9a: jnp.ndarray         # (k, 1)  |M' 2^-16|_{m_i}
+    w9n: jnp.ndarray         # (k, 1)  |-M' 2^32|_{m_i} (fused SK corr.)
     w9b: jnp.ndarray         # (k, 1)  |2^64|_{m_i}
     y_enter: jnp.ndarray     # (CH, 1) ch-Mont residues of M^2 R^-1 mod m
     c_enter: jnp.ndarray     # (CH, 1) |2^64|_{m_ch}  (enter scale fix)
@@ -248,7 +252,7 @@ class RnsModulus:
     # "heavy per-key RNS setup" verdict).
 
     def tree_flatten(self):
-        return (self.K1, self.u5, self.v5, self.w9a, self.w9b,
+        return (self.K1, self.u5, self.v5, self.w9n, self.w9b,
                 self.y_enter, self.c_enter, self.K3, self.k4_limbs,
                 self.one_ch, self.k5_limbs), (self.m,)
 
@@ -275,7 +279,7 @@ class RnsModulus:
         one_ch = np.array([(Mm % mc) * (1 << 16) % mc for mc in all_mods],
                           dtype=np.uint32)[:, None]
         j = lambda a: jnp.asarray(a)
-        return cls(m, j(v["K1"]), j(v["u5"]), j(v["v5"]), j(v["w9a"]),
+        return cls(m, j(v["K1"]), j(v["u5"]), j(v["v5"]), j(v["w9n"]),
                    j(v["w9b"]), j(y_enter), j(c_enter), base.K1g,
                    j(int_to_limbs(k4, L)[:, None]), j(one_ch),
                    j(int_to_limbs(k5, L)[:, None]))
@@ -305,32 +309,70 @@ def modulus_vectors(mbits: int, m: int) -> dict:
                     for mi in mods_B], dtype=np.uint32)[:, None]
     w9b = np.array([pow(2, 64, mi) for mi in mods_B],
                    dtype=np.uint32)[:, None]
-    return {"K1": K1, "u5": u5, "v5": v5, "w9a": w9a, "w9b": w9b}
+    # fused SK-exit constant: w9n = -w9a*w9b*2^-16 mod m_i, so the tail
+    # Z = (Zh - delta*w9a*2^-16)*w9b*2^-16 collapses to one paired
+    # product Z = (Zh*w9b + delta*w9n)*2^-16 (see _cmul2)
+    w9n = np.array([
+        (-int(w9a[i, 0]) * int(w9b[i, 0])
+         * pow(1 << 16, -1, mi)) % mi
+        for i, mi in enumerate(mods_B)], dtype=np.uint32)[:, None]
+    return {"K1": K1, "u5": u5, "v5": v5, "w9a": w9a, "w9b": w9b,
+            "w9n": w9n}
 
 
 # ---------------------------------------------------------------------------
 # Channel primitives (elementwise, uint32).
 # ---------------------------------------------------------------------------
 
+def _csub(r, mods):
+    """One conditional subtract (r < 2m -> < m).
+
+    (Round-5 note: the unsigned wrap-minimum formulation — one VPU op
+    instead of compare+select — fails to legalize in this Mosaic
+    toolchain: 'arith.minui' on vector<8x128xi32> is unsupported, so
+    the explicit compare stands.)"""
+    return jnp.where(r >= mods, r - mods, r)
+
+
 def _cmul(a, b, mods, n0):
     """Channel product with 16-bit REDC: a*b*2^-16 mod m, output < m.
 
     a, b < 2^16 (so the uint32 product is exact); mods/n0 broadcast."""
     t = a * b
-    u = ((t & MASK16) * n0) & MASK16
+    tl = t & MASK16
+    u = (tl * n0) & MASK16
     um = u * mods
     # (t + um) / 2^16 without the 33-bit intermediate
-    r = (t >> 16) + (um >> 16) + (((t & MASK16) + (um & MASK16)) >> 16)
-    return jnp.where(r >= mods, r - mods, r)
+    r = (t >> 16) + (um >> 16) + ((tl + (um & MASK16)) >> 16)
+    return _csub(r, mods)
 
 
 def _redc(t, mods, n0):
     """t * 2^-16 mod m for any uint32 t; output < m (two cond-subs)."""
-    u = ((t & MASK16) * n0) & MASK16
+    tl = t & MASK16
+    u = (tl * n0) & MASK16
     um = u * mods
-    r = (t >> 16) + (um >> 16) + (((t & MASK16) + (um & MASK16)) >> 16)
-    r = jnp.where(r >= mods, r - mods, r)
-    return jnp.where(r >= mods, r - mods, r)
+    r = (t >> 16) + (um >> 16) + ((tl + (um & MASK16)) >> 16)
+    return _csub(_csub(r, mods), mods)
+
+
+def _cmul2(a, b, c, d, mods, n0):
+    """Paired channel product (a*b + c*d) * 2^-16 mod m, output < m.
+
+    One REDC serves BOTH products: 4 uint32 multiplies instead of the 6
+    (plus an addmod) that two _cmuls cost — the u32 vector multiply is
+    the expensive VPU primitive, so the hot chain uses this wherever it
+    sums two products (measured round 5).  Inputs < m; exact: P+Q is
+    carried as split (lo, hi) halves, every intermediate < 2^32."""
+    P = a * b
+    Q = c * d
+    lo = (P & MASK16) + (Q & MASK16)                  # < 2^17
+    hi = (P >> 16) + (Q >> 16)                        # < 2^17
+    ll = lo & MASK16
+    u = (ll * n0) & MASK16
+    um = u * mods
+    r = hi + (lo >> 16) + (um >> 16) + ((ll + (um & MASK16)) >> 16)
+    return _csub(_csub(r, mods), mods)                # r < 3m
 
 
 def _submod(a, b, mods):
@@ -339,8 +381,7 @@ def _submod(a, b, mods):
 
 
 def _addmod(a, b, mods):
-    r = a + b
-    return jnp.where(r >= mods, r - mods, r)
+    return _csub(a + b, mods)
 
 
 def _plane_dots(x, W_lo, W_hi):
@@ -374,18 +415,29 @@ def _plane_dots(x, W_lo, W_hi):
     return S00, mid, S11
 
 
-def _combine_planes(S00, mid, S11, mods, n0, w15):
+def _combine_planes(S00, mid, S11, mods, n032):
     """Byte-plane sums -> (true value)*2^-32 mod m, < m.
 
-    A = S00 + 2^8*mid + 2^16*S11 (the exact integer dot product); the
-    mid plane splits at 2^23 so every int32 intermediate fits:
-    A*2^-16 === redc(S00 + lo<<8) + hi*|2^15| + S11 (mod m), then one
-    more REDC gives the 2^-32-scaled canonical output."""
+    A = S00 + 2^8*mid + 2^16*S11 (the exact integer dot product), held
+    as A = t + 2^16*B1 with t = S00 + (lo<<8) and B1 = (hi<<15) + S11
+    (mid splits at 2^23 so both halves fit uint32).  ONE radix-2^32
+    Montgomery pass reduces it: u = A * (-m^-1) mod 2^32 (wrapping u32
+    multiplies), T = A + u*m === 0 mod 2^32, output T / 2^32 < 2m.
+    Saves a multiply and ~9 VPU ops per row over the round-4 two-pass
+    16-bit REDC (and retires the |2^15| fold constant)."""
     lo = (mid & ((1 << 23) - 1)).astype(jnp.uint32)
     hi = (mid >> 23).astype(jnp.uint32)
     t = S00.astype(jnp.uint32) + (lo << 8)
-    v = _redc(t, mods, n0) + hi * w15 + S11.astype(jnp.uint32)
-    return _redc(v, mods, n0)
+    B1 = (hi << 15) + S11.astype(jnp.uint32)
+    u = t * n032 + ((B1 * n032) << 16)       # A * -m^-1 mod 2^32
+    A2 = (u & MASK16) * mods                 # u_lo * m
+    Bm = (u >> 16) * mods                    # u_hi * m
+    # T = (t + A2) + 2^16*(B1 + Bm), divisible by 2^32; the low 16 bits
+    # of t + A2 are exactly 0, so C1 below is exact
+    C1 = (t >> 16) + (A2 >> 16) + (((t & MASK16) + (A2 & MASK16)) >> 16)
+    r = ((C1 >> 16) + (B1 >> 16) + (Bm >> 16)
+         + (((C1 & MASK16) + (B1 & MASK16) + (Bm & MASK16)) >> 16))
+    return _csub(r, mods)
 
 
 # ---------------------------------------------------------------------------
@@ -402,29 +454,27 @@ def rns_mont_mul(X, Y, base: RnsBase, key: RnsModulus):
     k = base.k
     mods, n0 = base.mods, base.n0
     mB, n0B = mods[:k], n0[:k]
-    mT, n0T, w15T = mods[k:], n0[k:], base.w15[k:]      # B' ++ m_r
+    mT, n0T = mods[k:], n0[k:]                          # B' ++ m_r
+    n32T = base.n032[k:]
     mR, n0R = mods[2 * k:], n0[2 * k:]
 
     S = _cmul(X, Y, mods, n0)                           # ch-Mont(s), CH rows
     xi = _cmul(S[:k], key.K1, mB, n0B)                  # true xi, B rows
     S00, mid, S11 = _plane_dots(xi, base.C1_lo, base.C1_hi)
-    Q = _combine_planes(S00, mid, S11, mT, n0T, w15T)   # q_hat * 2^-32
-    Rp = _addmod(_cmul(S[k:], key.u5, mT, n0T),
-                 _cmul(Q, key.v5, mT, n0T), mT)         # ch-Mont(r'), B'+m_r
+    Q = _combine_planes(S00, mid, S11, mT, n32T)        # q_hat * 2^-32
+    Rp = _cmul2(S[k:], key.u5, Q, key.v5, mT, n0T)      # ch-Mont(r'), B'+m_r
     xip = _cmul(Rp[:k], base.K2g, mods[k:2 * k], n0[k:2 * k])
     T00, tmid, T11 = _plane_dots(xip, base.C2_lo, base.C2_hi)
     tgt_m = jnp.concatenate([mB, mR], axis=0)
-    tgt_n0 = jnp.concatenate([n0B, n0R], axis=0)
-    tgt_w15 = jnp.concatenate([base.w15[:k], base.w15[2 * k:]], axis=0)
-    Zh = _combine_planes(T00, tmid, T11, tgt_m, tgt_n0, tgt_w15)
-    # SK offset from the redundant channel: delta = (r_hat - r') * M'^-1
+    tgt_n32 = jnp.concatenate([base.n032[:k], base.n032[2 * k:]], axis=0)
+    Zh = _combine_planes(T00, tmid, T11, tgt_m, tgt_n32)
+    # SK offset from the redundant channel: delta = (r_hat - r') * M'^-1;
+    # the correction folds into ONE paired product via w9n = -w9a*w9b/2^16
     a = _cmul(Zh[k:], base.exit_c[0:1], mR, n0R)        # r_hat * M'^-1
     b = _cmul(Rp[k:], base.exit_c[1:2], mR, n0R)        # r'    * M'^-1
     delta = _submod(a, b, mR)                           # true, < k
-    t2 = _cmul(jnp.broadcast_to(delta, (k, delta.shape[1])), key.w9a,
-               mB, n0B)                                 # delta*M'*2^-32
-    d = _submod(Zh[:k], t2, mB)
-    Z = _cmul(d, key.w9b, mB, n0B)                      # ch-Mont, B rows
+    deltab = jnp.broadcast_to(delta, (k, delta.shape[1]))
+    Z = _cmul2(Zh[:k], key.w9b, deltab, key.w9n, mB, n0B)  # ch-Mont, B rows
     return jnp.concatenate([Z, Rp], axis=0)
 
 
@@ -434,7 +484,7 @@ def rns_enter(v_limbs, base: RnsBase, key: RnsModulus):
     L = v_limbs.shape[0]
     P_lo, P_hi = _enter_planes(base, L)
     S00, mid, S11 = _plane_dots(v_limbs, P_lo, P_hi)
-    V = _combine_planes(S00, mid, S11, base.mods, base.n0, base.w15)
+    V = _combine_planes(S00, mid, S11, base.mods, base.n032)
     V = _cmul(V, key.c_enter, base.mods, base.n0)       # ch-Mont(v)
     return rns_mont_mul(V, jnp.broadcast_to(key.y_enter, V.shape),
                         base, key)
@@ -500,7 +550,7 @@ def _exit_limbs(Z, base: RnsBase):
     c1r_lo = base.C1_lo[k:k + 1]
     c1r_hi = base.C1_hi[k:k + 1]
     R00, rmid, R11 = _plane_dots(xi, c1r_lo, c1r_hi)
-    rr = _combine_planes(R00, rmid, R11, mR, n0R, base.w15[2 * k:])
+    rr = _combine_planes(R00, rmid, R11, mR, base.n032[2 * k:])
     rr = _cmul(rr, _c48(base), mR, n0R)                 # true r_hat mod m_r
     z_r = _cmul(Z[2 * k:], base.exit_c[2:3], mR, n0R)   # true z~ mod m_r
     diff = _submod(rr, z_r, mR)

@@ -196,7 +196,7 @@ def test_rns_programs_key_independent_hlo():
         pub = sch.PublicContext(kd["n"], kd["bits"], True, hs,
                                 kd["randbits"])
         base, key = _rns.RnsBase.for_bits(
-            -(-(2 * pub.bits + 2) // 64) * 64), None
+            -(-(2 * pub.bits + 2) // 16) * 16), None
         from pailliercryptolib_python_tpu.ops.rns import RnsModulus
         key = RnsModulus.build(base, pub.nsquare, pub.L)
         lad_pos = jnp.asarray(pub._host_pow2_ladder())[:, :, 0].T
