@@ -88,9 +88,11 @@ def main():
 
     # runtime-mode sweep over ALL 13 hybrid modes (reference:
     # /root/reference/example/ipclpy_example.py:159-211 times encrypt/
-    # decrypt/multiply per QAT:CPU split; the TPU build records the mode
-    # and runs the same accelerator path — the sweep shows the timing
-    # surface is mode-invariant here, by design)
+    # decrypt/multiply per QAT:CPU split).  Since round 5 the split is
+    # REAL: with the context initialized, host-leaning modes route
+    # their CPU share of each encrypt batch to a concurrent host bigint
+    # thread (IPP = 100% host), so the timing surface varies by mode
+    # exactly as on a QAT box.
     print("hybrid-mode sweep (encrypt / decrypt / multiply ms):")
     for mode in hybridMode:
         hybridControl.setHybridMode(mode)

@@ -198,6 +198,70 @@ def generate_prime(bits: int) -> int:
             return got
 
 
+_PRIME_POOL = None
+_POOL_BROKEN = False
+
+
+def _pool_usable() -> bool:
+    """Spawn re-imports the parent's __main__ in each worker: with a
+    file-less __main__ (REPL/stdin) that fails, so skip the pool there
+    (and permanently after any pool failure)."""
+    if _POOL_BROKEN:
+        return False
+    import sys
+    main = sys.modules.get("__main__")
+    return main is None or hasattr(main, "__file__")
+
+
+def _prime_pool():
+    """Persistent 2-worker spawn pool for concurrent p/q prime searches.
+
+    The two searches are embarrassingly parallel but CPython's bigint
+    pow holds the GIL, so genuine overlap needs processes.  Spawned
+    workers pay a one-time package import (~2 s) and then serve every
+    subsequent keygen; they force the CPU jax platform and never touch
+    a device (keygen is host-only), so they cannot contend for the TPU.
+    """
+    global _PRIME_POOL
+    if _PRIME_POOL is None:
+        import os
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+        pool = ProcessPoolExecutor(
+            2, mp_context=mp.get_context("spawn"),
+            initializer=_prime_worker_init)
+        # Spawn BOTH workers now, under a scrubbed environment: ambient
+        # PYTHONPATH may carry a sitecustomize that imports jax against
+        # a remote accelerator at interpreter start — a worker must
+        # never touch (or wait on) the device.  Keep only the package
+        # root on the path and pin the CPU platform.
+        pkg_root = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        saved = {k: os.environ.get(k)
+                 for k in ("PYTHONPATH", "JAX_PLATFORMS")}
+        try:
+            os.environ["PYTHONPATH"] = pkg_root
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            for f in [pool.submit(int, 0), pool.submit(int, 1)]:
+                f.result(timeout=120)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+        _PRIME_POOL = pool
+    return _PRIME_POOL
+
+
+def _prime_worker_init():
+    try:  # defensive: the ambient env may pin a remote TPU platform
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+
 def generate_key_ints(n_length: int = 1024, enable_DJN: bool = True) -> dict:
     """Generate raw key material as Python ints.
 
@@ -205,11 +269,33 @@ def generate_key_ints(n_length: int = 1024, enable_DJN: bool = True) -> dict:
     retried until n = p*q has exactly n_length bits; DJN setup draws x,
     h = -x^2 mod n, hs = h^n mod n^2, with obfuscator exponents of
     randbits = n_length//2 bits.
+
+    For >= 2048-bit keys the p and q searches run CONCURRENTLY in the
+    persistent worker pool (config.keygen_parallel; serial fallback on
+    any pool failure).
     """
+    global _POOL_BROKEN
     half = n_length // 2
+    # auto-gate at 3072-bit keys: below that, one prime search (~0.2 s)
+    # is cheaper than a cold pool spawn; the pool amortizes across
+    # keygens either way once warm ("1" forces it for services)
+    cfgp = _config.get_config().keygen_parallel
+    use_pool = ((cfgp == "1") or (cfgp == "auto" and half >= 1536)) \
+        and _pool_usable()
     while True:
-        p = generate_prime(half)
-        q = generate_prime(half)
+        if use_pool:
+            try:
+                pool = _prime_pool()
+                fp = pool.submit(generate_prime, half)
+                fq = pool.submit(generate_prime, half)
+                p, q = fp.result(), fq.result()
+            except Exception:     # pool unavailable: degrade to serial
+                use_pool = False
+                _POOL_BROKEN = True
+                continue
+        else:
+            p = generate_prime(half)
+            q = generate_prime(half)
         if p == q:
             continue
         n = p * q
@@ -220,7 +306,24 @@ def generate_key_ints(n_length: int = 1024, enable_DJN: bool = True) -> dict:
         nsq = n * n
         x = secrets.randbelow(n - 1) + 1
         h = (-(x * x)) % n
-        out["hs"] = pow(h, n, nsq)
+        # hs = h^n mod n^2 via CRT: exponents reduce modulo the group
+        # orders p(p-1) / q(q-1), so two half-width pows (~4x cheaper
+        # than the direct 2n-bit pow) — and they overlap in the pool.
+        psq, qsq = p * p, q * q
+        args_p = (h % psq, n % (p * (p - 1)), psq)
+        args_q = (h % qsq, n % (q * (q - 1)), qsq)
+        if use_pool:
+            try:
+                pool = _prime_pool()
+                fp = pool.submit(pow, *args_p)
+                fq = pool.submit(pow, *args_q)
+                hp, hq = fp.result(), fq.result()
+            except Exception:
+                hp, hq = pow(*args_p), pow(*args_q)
+        else:
+            hp, hq = pow(*args_p), pow(*args_q)
+        qinv = pow(qsq, -1, psq)
+        out["hs"] = (hq + qsq * ((qinv * (hp - hq)) % psq)) % nsq
         out["randbits"] = half
     return out
 
@@ -542,6 +645,29 @@ class PublicContext:
         if apply_obfuscator:
             ct = self.obfuscate(ct)
         return ct
+
+    def host_encrypt(self, encodings: list,
+                     apply_obfuscator: bool = True) -> list:
+        """Pure-HOST bigint encrypt: canonical ciphertext ints.
+
+        The CPU leg of the heterogeneous work split (the reference's
+        IPP path behind hybridMode — ipcl_bindings.cpp:37-56): runs in
+        a worker thread concurrently with the device program on the
+        rest of the batch (api._hybrid_split_encrypt).  Bit-compatible
+        with the device path (same scheme, fresh obfuscators)."""
+        nsq = self.nsquare
+        out = []
+        for m in encodings:
+            c = (1 + int(m) * self.n) % nsq
+            if apply_obfuscator:
+                if self.enable_DJN:
+                    r = secrets.randbits(self.randbits)
+                    c = c * pow(self.hs, r, nsq) % nsq
+                else:
+                    r = secrets.randbelow(self.n - 1) + 1
+                    c = c * pow(r, self.n, nsq) % nsq
+            out.append(c)
+        return out
 
     def add_ct(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """HE addition: ciphertext modmul mod n^2 (both Montgomery)."""

@@ -82,6 +82,23 @@ def _pick_tb(CH: int, window: int, B: int) -> int | None:
     return tb_for(CH, window, tbs)
 
 
+# Working set of the single-product kernel (no window table): the two
+# inputs, the output and _mul_val's live temporaries.
+_MUL_WORK_ROWS = 26
+
+
+def _pick_tb_mul(CH: int, B: int) -> int:
+    """VMEM-checked batch-tile width for the single-product kernel.
+    (Round-5 bench caught tb=256 silently overflowing VMEM at the
+    3072/4096 channel counts — ~2x slower compiled code — so the pick
+    must respect the same budget model as the chain kernels.)"""
+    CHP = _pad8(CH)
+    for tb in ((256, 128) if B >= 256 else (128,)):
+        if 4 * tb * _MUL_WORK_ROWS * CHP <= _VMEM_BUDGET:
+            return tb
+    return 128
+
+
 # ---------------------------------------------------------------------------
 # Host-side weight packing (cached per (base, key) identity).
 # ---------------------------------------------------------------------------
@@ -451,7 +468,7 @@ def rns_mul_p(A, B_state, base: RnsBase, key: RnsModulus,
     """Drop-in for rns.rns_mont_mul on TPU (one product, no chain)."""
     p = kernel_operands(base, key)
     B = A.shape[1]
-    tb = tb or (256 if B >= 256 else 128)
+    tb = tb or _pick_tb_mul(base.CH, B)
     out = _mul_call(A, B_state, p["vec"], p["skc"], p["E1"], p["CS1"],
                     p["E2"], p["CS2"], tb=tb, k=base.k, CH=base.CH)
     return out[:base.CH, :B]

@@ -80,11 +80,27 @@ class Config:
     # Default is host; flip to "auto" on a locally attached TPU where
     # dispatch is ~us (the path is correctness-tested either way).
     keygen_device: str = os.environ.get("PAILLIER_KEYGEN_DEVICE", "0")
+    # concurrent p/q prime searches in a persistent 2-process pool:
+    # "auto" (>= 2048-bit keys), "1" (always), "0" (serial).  The GIL
+    # serializes CPython bigint pow, so real overlap needs processes;
+    # the pool is lazy and reused across keygens.
+    keygen_parallel: str = os.environ.get("PAILLIER_KEYGEN_PARALLEL",
+                                          "auto")
     # encrypt host/device pipelining depth (1 = no chunking); the
     # hybridControl.setHybridMode parity knob maps onto this
     # (utils/context.py).  Chunk i+1's host encode/pack/entropy overlaps
     # chunk i's asynchronously dispatched device program.
     encrypt_pipeline_chunks: int = _env_int("PAILLIER_ENC_CHUNKS", 1)
+    # fraction of each encrypt batch routed to the HOST bigint path,
+    # running CONCURRENTLY (worker thread; CPython pow waits while the
+    # main thread blocks on the device) — the reference's QAT:CPU
+    # work-split made real (hybridMode PREF_IPP*/HALF/IPP set this;
+    # active only after context.initializeContext, like the reference's
+    # QAT runtime gate).  Measured on v5e: device:host throughput is
+    # ~500:1, so OPTIMAL/QAT keep 0.0 — the knob exists for parity and
+    # for hosts where the device is busy or absent.
+    encrypt_host_ratio: float = float(
+        os.environ.get("PAILLIER_HOST_RATIO", "0") or 0)
     mesh_hosts: int | None = None
     mesh_chips: int | None = None
 

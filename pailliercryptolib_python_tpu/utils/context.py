@@ -104,6 +104,24 @@ _MODE_CHUNKS = {
     hybridMode.IPP: 8,
 }
 
+# The reference's accelerator:CPU modexp ratio, made real (round 5):
+# this fraction of each encrypt batch runs on the HOST bigint path in a
+# worker thread, concurrently with the device program on the rest
+# (api._hybrid_split_encrypt).  Active only once initializeContext has
+# been called — exactly the reference's gate, where hybridMode only
+# matters with the QAT runtime up (ipcl_bindings.cpp:37-56).  Forcing
+# IPP routes 100% to host, faithfully reproducing "CPU library only"
+# (slow on purpose, as on a QAT box).
+_MODE_HOST_RATIO = {
+    hybridMode.QAT: 0.0, hybridMode.OPTIMAL: 0.0,
+    hybridMode.PREF_QAT90: 0.1, hybridMode.PREF_QAT80: 0.2,
+    hybridMode.PREF_QAT70: 0.3, hybridMode.PREF_QAT60: 0.4,
+    hybridMode.HALF: 0.5,
+    hybridMode.PREF_IPP60: 0.6, hybridMode.PREF_IPP70: 0.7,
+    hybridMode.PREF_IPP80: 0.8, hybridMode.PREF_IPP90: 0.9,
+    hybridMode.IPP: 1.0,
+}
+
 
 class hybridControl:
     """Work-split policy (py_ipclHybridControl parity).
@@ -120,6 +138,9 @@ class hybridControl:
         chunks = _MODE_CHUNKS.get(hybridControl._mode)
         if chunks is not None:
             _config.set_config(encrypt_pipeline_chunks=chunks)
+        ratio = _MODE_HOST_RATIO.get(hybridControl._mode)
+        if ratio is not None:
+            _config.set_config(encrypt_host_ratio=ratio)
 
     @staticmethod
     def setHybridOff() -> None:
