@@ -227,8 +227,13 @@ def bench_key(bits, batches, results, rng, headline_B=None,
         _sync(enc_limbs)
         t_host = time.perf_counter() - t0  # host prep + H2D (incl. relay)
 
+        # small batches: more back-to-back calls per sync block, so the
+        # ~35-70 ms relay round trip amortizes instead of dominating a
+        # ~20 ms device program (the 4096/256 line swung 2x on it)
+        it = 2 if B >= 1024 else 6
         t_enc, e_lo, e_hi = timeit_med(lambda: encrypt_device(enc_limbs,
-                                                              digits))
+                                                              digits),
+                                       iters=it)
         results[f"BM_Encrypt/{tag}"] = t_enc
         log(f"BM_Encrypt/{tag}: {t_enc * 1e6:.0f} us med-of-7 "
             f"[{e_lo * 1e6:.0f}..{e_hi * 1e6:.0f}] "
@@ -242,7 +247,7 @@ def bench_key(bits, batches, results, rng, headline_B=None,
             out.block_until_ready()
             return out
 
-        t_dec, d_lo, d_hi = timeit_med(decrypt_device)
+        t_dec, d_lo, d_hi = timeit_med(decrypt_device, iters=it)
         results[f"BM_Decrypt_device/{tag}"] = t_dec
         # Host tail, ITEMIZED (VERDICT r4 #7): the D2H transfer is a
         # harness relay constant (seconds for MBs a local PCIe/ICI link
@@ -364,7 +369,7 @@ def bench_key(bits, batches, results, rng, headline_B=None,
         # med-of-7 spread reflects the kernel, not HBM paging/compiles
         if enc_plan is not None:
             _sync(comb_rns[0])
-        t_mul, m_lo, m_hi = timeit_med(mul_ctpt)
+        t_mul, m_lo, m_hi = timeit_med(mul_ctpt, iters=it)
         results[f"BM_Mul_CTPT/{tag}"] = t_mul
         log(f"BM_Mul_CTPT/{tag}: {t_mul * 1e6:.0f} us med-of-7 "
             f"[{m_lo * 1e6:.0f}..{m_hi * 1e6:.0f}] "
@@ -372,7 +377,7 @@ def bench_key(bits, batches, results, rng, headline_B=None,
         if bits == 4096:
             # stability evidence: a second consecutive med-of-7 must
             # land within the first run's spread
-            t_mul2, m2_lo, m2_hi = timeit_med(mul_ctpt)
+            t_mul2, m2_lo, m2_hi = timeit_med(mul_ctpt, iters=it)
             results[f"BM_Mul_CTPT_rerun/{tag}"] = t_mul2
             log(f"BM_Mul_CTPT_rerun/{tag}: {t_mul2 * 1e6:.0f} us "
                 f"med-of-7 [{m2_lo * 1e6:.0f}..{m2_hi * 1e6:.0f}] "
