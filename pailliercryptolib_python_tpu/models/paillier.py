@@ -831,21 +831,28 @@ def _build_comb_rns(lad_pos, base, key, *, w, n_win, randbits):
 
 
 @partial(jax.jit, static_argnames=("Lh",))
-def _crt_stage_reduce(ct_mont, sq_ctx, r3_p, r3_q, Lh):
-    """CRT stage 1: wide Montgomery reduction of the MONTGOMERY-form
-    mod-n^2 ciphertext straight into the p^2/q^2 domains.
+def _crt_stage_reduce(ct_mont, Cp_lo, Cp_hi, Cq_lo, Cq_hi, sq_p, sq_q,
+                      f2_p, f2_q, Lh):
+    """CRT stage 1: reduce the MONTGOMERY-form mod-n^2 ciphertext into
+    the p^2/q^2 domains — matmul residue fold (round 5).
 
-    The mod-n^2 Montgomery exit is never materialized: for input value
-    X = c*R_n2 (< 2n^2 < p^2*R_h), REDC_h gives X*R_h^{-1}; one modmul by
-    the host-folded constant F = R_h^3 * R_n2^{-1} mod p^2 (r3_p/r3_q)
-    lands directly on the Montgomery form c*R_h.  Saves the full-width
-    (L_n2) from_mont modmul + cond_sub the round-2 path paid."""
+    For input value X = c*R_n2: one MXU byte-plane fold gives
+    V === X (mod m), V < m*2^25; a 2-step short REDC gives X*2^-32,
+    < 1.02m; one modmul by F2 = R_h^2 * 2^32 * R_n2^{-1} lands on the
+    Montgomery form c*R_h.  Replaces the L-iteration positional REDC
+    loop of rounds 2-4 (memory-bound: ~26 GB of HBM traffic at
+    2048/B=16384) with ~9 GMAC of bf16/int8 matmul."""
+    from ..ops.rns import residue_fold_limbs
+
     B = ct_mont.shape[1]
-    ct2 = jnp.concatenate([ct_mont, ct_mont], axis=1)   # (L_n2, 2B)
-    w = mg.mont_reduce_wide(ct2, sq_ctx)           # c * R_n2 * R_h^{-1}
-    r3 = jnp.concatenate([jnp.broadcast_to(r3_p, (Lh, B)),
-                          jnp.broadcast_to(r3_q, (Lh, B))], axis=1)
-    return mg.mont_mul(w, r3, sq_ctx)              # c * R_h (Mont form)
+
+    def half(C_lo, C_hi, sq, f2):
+        v = residue_fold_limbs(ct_mont, C_lo, C_hi, Lh)
+        w = mg.mont_reduce_wide(v, sq, iters=2)    # X * 2^-32, < 1.02m
+        return mg.mont_mul(w, jnp.broadcast_to(f2, (Lh, B)), sq)
+
+    return jnp.concatenate([half(Cp_lo, Cp_hi, sq_p, f2_p),
+                            half(Cq_lo, Cq_hi, sq_q, f2_q)], axis=1)
 
 
 def _crt_stage_exp_half(base_m, sq_ctx, digits, window):
@@ -1052,15 +1059,25 @@ class PrivateContext:
             self.rdig_p = jnp.asarray(digr[:, 0])
             self.rdig_q = jnp.asarray(digr[:, 1])
 
-        # Folded stage-1 constant F = R_h^3 * R_n2^{-1} mod p^2 / q^2: one
-        # modmul maps the wide-REDC output of a MONTGOMERY-form mod-n^2
-        # ciphertext (c*R_n2*R_h^{-1}) directly onto c*R_h — the mod-n^2
-        # Montgomery exit is folded away (see _crt_stage_reduce).
+        # Stage-1 residue fold (round 5): the mod-p^2/q^2 reductions of
+        # the mod-n^2 Montgomery ciphertext run as ONE byte-plane MXU
+        # matmul against C[j,l] = limb j of 2^(16l) mod m, a 2-step
+        # short REDC, and one modmul by the folded constant
+        # F2 = R_h^2 * 2^32 * R_n2^{-1} — replacing the 128-step
+        # positional REDC loop (48 -> ~5 ms at 2048/B=16384).  The C
+        # planes and F2 are per-key jit ARGUMENTS (key-independent HLO).
+        from ..ops import rns as _rns_mod
         Rn2 = 1 << (LIMB_BITS * pub.L)
-        f_p = pow(Rh, 3, psq) * pow(Rn2, -1, psq) % psq
-        f_q = pow(Rh, 3, qsq) * pow(Rn2, -1, qsq) % qsq
-        self.r3_p = jnp.asarray(int_to_limbs(f_p, Lh)[:, None])
-        self.r3_q = jnp.asarray(int_to_limbs(f_q, Lh)[:, None])
+        self.Cp_lo, self.Cp_hi = map(jnp.asarray, _rns_mod._residue_planes_np(
+            psq, Lh, pub.L))
+        self.Cq_lo, self.Cq_hi = map(jnp.asarray, _rns_mod._residue_planes_np(
+            qsq, Lh, pub.L))
+        f2p = pow(Rh, 2, psq) * pow(2, 32, psq) % psq \
+            * pow(Rn2, -1, psq) % psq
+        f2q = pow(Rh, 2, qsq) * pow(2, 32, qsq) % qsq \
+            * pow(Rn2, -1, qsq) % qsq
+        self.f2_p = jnp.asarray(int_to_limbs(f2p, Lh)[:, None])
+        self.f2_q = jnp.asarray(int_to_limbs(f2q, Lh)[:, None])
         # exact-division inverses: p^{-1}, q^{-1} mod 2^(16*Lq)
         self.pinv_R = jnp.asarray(int_to_limbs(pow(p, -1, Rq), Lq)[:, None])
         self.qinv_R = jnp.asarray(int_to_limbs(pow(q, -1, Rq), Lq)[:, None])
@@ -1083,6 +1100,13 @@ class PrivateContext:
             self._pq_ctx_cache[B] = mg.MontCtx.for_moduli(
                 [self.p] * B + [self.q] * B, self.Lq)
         return self._pq_ctx_cache[B]
+
+    def _stage_reduce(self, ct_mont: jnp.ndarray) -> jnp.ndarray:
+        """Stage 1 with this key's residue planes / folded constants."""
+        return _crt_stage_reduce(ct_mont, self.Cp_lo, self.Cp_hi,
+                                 self.Cq_lo, self.Cq_hi, self._sq_p,
+                                 self._sq_q, self.f2_p, self.f2_q,
+                                 self.Lh)
 
     def decrypt_to_ints(self, ct_mont: jnp.ndarray, b: int) -> list:
         """Batched CRT decrypt: Montgomery cts mod n^2 -> plaintext ints.
@@ -1111,8 +1135,7 @@ class PrivateContext:
         # Three jitted stages rather than one: XLA's compile time explodes
         # (~1s/stage separate vs ~7min fused) when the reduce, the Pallas
         # modexp and the recombination land in a single program.
-        base_m = _crt_stage_reduce(ct_mont, self._sq_ctx(B),
-                                   self.r3_p, self.r3_q, self.Lh)
+        base_m = self._stage_reduce(ct_mont)
         if self.use_rns:
             u_p, u_q = self._rns_exp_halves(base_m)
             u = jnp.concatenate([u_p, u_q], axis=1)
@@ -1153,8 +1176,7 @@ class PrivateContext:
         Each thunk runs one decrypt stage on the inputs the production
         path would hand it; callers time them individually."""
         B = ct_mont.shape[1]
-        base_m = _crt_stage_reduce(ct_mont, self._sq_ctx(B),
-                                   self.r3_p, self.r3_q, self.Lh)
+        base_m = self._stage_reduce(ct_mont)
         base_m.block_until_ready()
         if self.use_rns:
             u_p, u_q = self._rns_exp_halves(base_m)
@@ -1175,8 +1197,7 @@ class PrivateContext:
             self.Lh, self.Lq, self.pub.Ln)
         m.block_until_ready()
         stages = {
-            "stage1_reduce": lambda: _crt_stage_reduce(
-                ct_mont, self._sq_ctx(B), self.r3_p, self.r3_q, self.Lh),
+            "stage1_reduce": lambda: self._stage_reduce(ct_mont),
             "stage3_recombine": lambda: _crt_stage_recombine(
                 u, self._pq_ctx(B), self._q_ctx, self.pinv_R, self.qinv_R,
                 self.hpR, self.hqR, self.p_limbs, self.q_limbs,

@@ -206,13 +206,19 @@ def mont_sqr(a: jnp.ndarray, ctx: MontCtx) -> jnp.ndarray:
 
 
 @jax.jit
-def mont_reduce_wide(T: jnp.ndarray, ctx: MontCtx) -> jnp.ndarray:
+def mont_reduce_wide(T: jnp.ndarray, ctx: MontCtx,
+                     iters: int | None = None) -> jnp.ndarray:
     """Montgomery reduction of a wide value: T -> T*R^{-1} mod n, < 2n.
 
     T: (K, B) canonical limbs with value < n*R (K can exceed the modulus
     width L — e.g. a mod-n^2 ciphertext being reduced mod p^2).  This is
     how the framework reduces by a *smaller* modulus exactly; Barrett with
     limb-rounded k has an unbounded quotient error, REDC does not.
+
+    iters: number of REDC limb steps (default L, the full R^{-1}); a
+    SHORT reduction (iters=j) maps T -> T*2^{-16j} mod n and is enough
+    when T is only a few limbs past the modulus (the matmul residue
+    fold uses j=2 and folds 2^32 into its downstream constant).
     """
     L = ctx.num_limbs
     K = T.shape[0]
@@ -233,7 +239,7 @@ def mont_reduce_wide(T: jnp.ndarray, ctx: MontCtx) -> jnp.ndarray:
         t = t.at[0].add(carry0)
         return t
 
-    t = lax.fori_loop(0, L, body, t)
+    t = lax.fori_loop(0, L if iters is None else iters, body, t)
     return normalize(t)[:L]
 
 

@@ -478,6 +478,40 @@ def rns_mont_mul(X, Y, base: RnsBase, key: RnsModulus):
     return jnp.concatenate([Z, Rp], axis=0)
 
 
+def residue_fold_limbs(T, C_lo, C_hi, Lh: int):
+    """Positional residue fold on the MXU: (K, B) canonical limbs of a
+    wide value X -> (Lh+2, B) canonical limbs of V === X (mod m),
+    V < m * 2^(16 + log2 K).
+
+    C byte planes hold the limbs of 2^(16l) mod m ((Lh, K) each), so
+    V = sum_l T_l * C[:, l] is one byte-plane matmul group — the
+    128-step positional REDC loop this replaces was the CRT decrypt's
+    stage-1 cost (round 5: 48 ms -> ~4 ms at 2048/B=32768).  Bounds:
+    S00/mid/S11 < 2*K*255^2 (int32-exact for K < 33000); the combined
+    carry-save rows stay < 2^32."""
+    B = T.shape[1]
+    S00, mid, S11 = _plane_dots(T, C_lo, C_hi)
+    lo = (mid & ((1 << 23) - 1)).astype(jnp.uint32)
+    hi = (mid >> 23).astype(jnp.uint32)
+    body = S00.astype(jnp.uint32) + (lo << 8)           # (Lh, B)
+    upv = (hi << 15) + S11.astype(jnp.uint32)           # one limb higher
+    zrow = jnp.zeros((2, B), dtype=LIMB_DTYPE)
+    arr = jnp.concatenate([body, zrow], axis=0)         # (Lh+2, B)
+    arr = arr.at[1:Lh + 1].add(upv)
+    return normalize(arr)
+
+
+@lru_cache(maxsize=16)
+def _residue_planes_np(m: int, Lh: int, K: int):
+    """Byte planes of C[j, l] = limb j of (2^(16l) mod m) — host numpy.
+    Callers must pass the result as jit ARGUMENTS (m is key-derived;
+    baking it would make program HLO key-specific)."""
+    C = np.zeros((Lh, K), dtype=np.uint32)
+    for l in range(K):
+        C[:, l] = int_to_limbs(pow(2, 16 * l, m), Lh)
+    return _byte_planes(C)
+
+
 def rns_enter(v_limbs, base: RnsBase, key: RnsModulus):
     """(L, B) positional limbs of v = c*R (Montgomery-limb form, < 2m)
     -> RNS state of c*M (one residue matmul + one RNS product)."""

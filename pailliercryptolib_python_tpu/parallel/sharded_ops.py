@@ -41,8 +41,7 @@ def sharded_decrypt(priv, ct: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
 
     B must divide the mesh size evenly (shard_batch's contract)."""
     from ..models.paillier import (
-        _crt_stage_reduce, _crt_stage_exp_half, _crt_stage_exp,
-        _crt_stage_recombine)
+        _crt_stage_exp_half, _crt_stage_exp, _crt_stage_recombine)
 
     B = ct.shape[1]
     assert B % mesh.size == 0, "sharded_decrypt: B must divide mesh size"
@@ -54,8 +53,7 @@ def sharded_decrypt(priv, ct: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
         pq_ctx = priv._pq_ctx(Bloc)
 
         def local(ct_blk):
-            base_m = _crt_stage_reduce(ct_blk, sq_ctx, priv.r3_p,
-                                       priv.r3_q, priv.Lh)
+            base_m = priv._stage_reduce(ct_blk)
             if priv.use_rns:
                 u_p, u_q = priv._rns_exp_halves(base_m)
                 u = jnp.concatenate([u_p, u_q], axis=1)

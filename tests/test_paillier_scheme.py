@@ -128,8 +128,7 @@ def test_crt_half_split_path(key256):
     msgs = [rng.randrange(kd["n"]) for _ in range(B)]
     ct = pub.encrypt(msgs, apply_obfuscator=True)
     Bp = ct.shape[1]
-    base_m = sch._crt_stage_reduce(ct, priv._sq_ctx(Bp),
-                                   priv.r3_p, priv.r3_q, priv.Lh)
+    base_m = priv._stage_reduce(ct)
     u_p = sch._crt_stage_exp_half(base_m[:, :Bp], priv._sq_p,
                                   priv.dig_p, priv.dec_window)
     u_q = sch._crt_stage_exp_half(base_m[:, Bp:], priv._sq_q,

@@ -214,8 +214,7 @@ def test_rns_programs_key_independent_hlo():
     priv = sch.PrivateContext(pub, kd["p"], kd["q"])
     if priv.use_rns:
         ct = pub.encrypt([1, 2, 3, 4], apply_obfuscator=False)
-        base_m = sch._crt_stage_reduce(ct, priv._sq_ctx(ct.shape[1]),
-                                       priv.r3_p, priv.r3_q, priv.Lh)
+        base_m = priv._stage_reduce(ct)
         B = ct.shape[1]
         lp = _rns.rns_crt_exp_half.lower(
             base_m[:, :B], priv.rdig_p, priv.rns_base, priv.rns_p,
