@@ -877,10 +877,15 @@ def _crt_stage_exp(base_m, sq_ctx, exp_digits_pq, n_win_dec):
 
 
 @partial(jax.jit, static_argnames=("Lh", "Lq", "Ln"))
-def _crt_stage_recombine(u, pq_ctx, q_ctx, pinv_R, qinv_R, hpR, hqR,
+def _crt_stage_recombine(u, p_ctx, q_ctx, pinv_R, qinv_R, hpR, hqR,
                          p_limbs, q_limbs, pinvqR, Lh, Lq, Ln):
     """CRT stage 3: L-function (exact Hensel division), h-multiplies, and
-    Garner recombination m = m_p + p*((m_q - m_p) * p^{-1} mod q)."""
+    Garner recombination m = m_p + p*((m_q - m_p) * p^{-1} mod q).
+
+    The t*h modmuls run as SHARED-modulus halves (round 5): the mod-p
+    and mod-q contexts carry matmul-Montgomery MXU weights, where the
+    fused per-element-moduli context of rounds 2-4 forced the VPU CIOS
+    path."""
     from ..ops.limb import sub_mod_base
 
     B = u.shape[1] // 2
@@ -890,11 +895,12 @@ def _crt_stage_recombine(u, pq_ctx, q_ctx, pinv_R, qinv_R, hpR, hqR,
                             jnp.broadcast_to(qinv_R, (Lq, B))], axis=1)
     t = exact_div(um1, dinv, Lq)                   # (Lq, 2B) L-values
 
-    hR = jnp.concatenate([jnp.broadcast_to(hpR, (Lq, B)),
-                          jnp.broadcast_to(hqR, (Lq, B))], axis=1)
-    mpq = mg.mont_mul(t, hR, pq_ctx)
-    mpq = cond_sub(mpq, pq_ctx.n_limbs)
-    mp, mq = mpq[:, :B], mpq[:, B:]
+    mp = cond_sub(mg.mont_mul(t[:, :B],
+                              jnp.broadcast_to(hpR, (Lq, B)), p_ctx),
+                  p_limbs)
+    mq = cond_sub(mg.mont_mul(t[:, B:],
+                              jnp.broadcast_to(hqR, (Lq, B)), q_ctx),
+                  q_limbs)
 
     mp_mod_q = cond_sub(mp, q_limbs)               # m_p < p < 2q
     q_minus = sub_mod_base(jnp.broadcast_to(q_limbs, (Lq, B)), mp_mod_q)
@@ -1014,7 +1020,7 @@ class PrivateContext:
         # [p]*B ++ [q]*B) are built lazily per batch width — the whole CRT
         # runs as ONE fused batch of width 2B.
         self._sq_ctx_cache = {}
-        self._pq_ctx_cache = {}
+        self._p_ctx = mg.MontCtx.for_modulus(p, min_bits=LIMB_BITS * Lq)
         self._q_ctx = mg.MontCtx.for_modulus(q, min_bits=LIMB_BITS * Lq)
         # Shared-modulus contexts for the expensive CRT modexp: on TPU
         # these carry matmul-Montgomery weights, so the p-half and q-half
@@ -1095,12 +1101,6 @@ class PrivateContext:
                 [self.p * self.p] * B + [self.q * self.q] * B, self.Lh)
         return self._sq_ctx_cache[B]
 
-    def _pq_ctx(self, B: int) -> mg.MontCtx:
-        if B not in self._pq_ctx_cache:
-            self._pq_ctx_cache[B] = mg.MontCtx.for_moduli(
-                [self.p] * B + [self.q] * B, self.Lq)
-        return self._pq_ctx_cache[B]
-
     def _stage_reduce(self, ct_mont: jnp.ndarray) -> jnp.ndarray:
         """Stage 1 with this key's residue planes / folded constants."""
         return _crt_stage_reduce(ct_mont, self.Cp_lo, self.Cp_hi,
@@ -1151,7 +1151,7 @@ class PrivateContext:
             u = _crt_stage_exp(base_m, self._sq_ctx(B), self.exp_digits_pq,
                                self.n_win_dec)
         out = _crt_stage_recombine(
-            u, self._pq_ctx(B), self._q_ctx, self.pinv_R, self.qinv_R,
+            u, self._p_ctx, self._q_ctx, self.pinv_R, self.qinv_R,
             self.hpR, self.hqR, self.p_limbs, self.q_limbs, self.pinvqR,
             self.Lh, self.Lq, self.pub.Ln)
         return out if B == B0 else out[:, :B0]
@@ -1192,14 +1192,14 @@ class PrivateContext:
                                self.n_win_dec)
         u.block_until_ready()
         m = _crt_stage_recombine(
-            u, self._pq_ctx(B), self._q_ctx, self.pinv_R, self.qinv_R,
+            u, self._p_ctx, self._q_ctx, self.pinv_R, self.qinv_R,
             self.hpR, self.hqR, self.p_limbs, self.q_limbs, self.pinvqR,
             self.Lh, self.Lq, self.pub.Ln)
         m.block_until_ready()
         stages = {
             "stage1_reduce": lambda: self._stage_reduce(ct_mont),
             "stage3_recombine": lambda: _crt_stage_recombine(
-                u, self._pq_ctx(B), self._q_ctx, self.pinv_R, self.qinv_R,
+                u, self._p_ctx, self._q_ctx, self.pinv_R, self.qinv_R,
                 self.hpR, self.hqR, self.p_limbs, self.q_limbs,
                 self.pinvqR, self.Lh, self.Lq, self.pub.Ln),
             "stage4_d2h": lambda: np.asarray(m),

@@ -50,7 +50,6 @@ def sharded_decrypt(priv, ct: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     fn = _DEC_CACHE.get(key)
     if fn is None:
         sq_ctx = priv._sq_ctx(Bloc)
-        pq_ctx = priv._pq_ctx(Bloc)
 
         def local(ct_blk):
             base_m = priv._stage_reduce(ct_blk)
@@ -67,7 +66,7 @@ def sharded_decrypt(priv, ct: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
                 u = _crt_stage_exp(base_m, sq_ctx, priv.exp_digits_pq,
                                    priv.n_win_dec)
             return _crt_stage_recombine(
-                u, pq_ctx, priv._q_ctx, priv.pinv_R, priv.qinv_R,
+                u, priv._p_ctx, priv._q_ctx, priv.pinv_R, priv.qinv_R,
                 priv.hpR, priv.hqR, priv.p_limbs, priv.q_limbs,
                 priv.pinvqR, priv.Lh, priv.Lq, priv.pub.Ln)
 

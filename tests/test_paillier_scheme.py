@@ -139,7 +139,7 @@ def test_crt_half_split_path(key256):
     import numpy as np_
     assert np_.array_equal(np_.asarray(u), np_.asarray(fused))
     m = sch._crt_stage_recombine(
-        u, priv._pq_ctx(Bp), priv._q_ctx, priv.pinv_R, priv.qinv_R,
+        u, priv._p_ctx, priv._q_ctx, priv.pinv_R, priv.qinv_R,
         priv.hpR, priv.hqR, priv.p_limbs, priv.q_limbs, priv.pinvqR,
         priv.Lh, priv.Lq, pub.Ln)
     from pailliercryptolib_python_tpu.ops.limb import limbs_to_ints
