@@ -217,8 +217,10 @@ def mont_reduce_wide(T: jnp.ndarray, ctx: MontCtx,
 
     iters: number of REDC limb steps (default L, the full R^{-1}); a
     SHORT reduction (iters=j) maps T -> T*2^{-16j} mod n and is enough
-    when T is only a few limbs past the modulus (the matmul residue
-    fold uses j=2 and folds 2^32 into its downstream constant).
+    when T is only a few limbs past the modulus: the L-limb result is
+    valid iff the input value is < 2n * 2^(16j) (the matmul residue
+    fold uses j=2 on inputs < n * 2^25 and folds 2^32 into its
+    downstream constant).
     """
     L = ctx.num_limbs
     K = T.shape[0]

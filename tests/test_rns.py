@@ -223,3 +223,57 @@ def test_rns_programs_key_independent_hlo():
             base_m[:, B:], priv.rdig_q, priv.rns_base, priv.rns_q,
             priv._sq_q, priv.rns_window, priv.Lh).as_text()
         assert lp == lq, "baked key-dependent constant in rns_crt_exp_half"
+
+
+def test_residue_fold_limbs_oracle():
+    """The MXU residue fold (CRT stage-1 primitive) must agree with
+    Python bigint arithmetic: value(out) === value(in) (mod m) and
+    out < m * 2^25, for wide inputs up to the mod-n^2 width."""
+    import random
+    import numpy as np
+    import jax.numpy as jnp
+    from pailliercryptolib_python_tpu.ops import rns as _rns
+    from pailliercryptolib_python_tpu.ops.limb import (
+        ints_to_limbs, limbs_to_ints, limbs_for_bits)
+
+    r = random.Random(9)
+    m = (r.getrandbits(509) | (1 << 508) | 1)
+    Lh = limbs_for_bits(m.bit_length() + 2)
+    K = 2 * Lh + 4                        # "mod-n^2 sized" input
+    vals = [r.getrandbits(16 * K - 8) for _ in range(6)]
+    T = jnp.asarray(ints_to_limbs(vals, K))
+    C_lo, C_hi = _rns._residue_planes_np(m, Lh, K)
+    out = _rns.residue_fold_limbs(T, jnp.asarray(C_lo), jnp.asarray(C_hi),
+                                  Lh)
+    got = limbs_to_ints(np.asarray(out))
+    for v, g in zip(vals, got):
+        assert g % m == v % m, "residue fold value mismatch"
+        assert g < (m << 25), "residue fold bound"
+
+
+def test_mont_reduce_wide_short_iters():
+    """mont_reduce_wide(iters=j) maps T -> T * 2^-16j mod n, with the
+    result < 2n whenever the input value is < 2n * 2^16j (the short-
+    reduction precondition; stage 1 uses j=2 on inputs < n * 2^25)."""
+    import random
+    import numpy as np
+    import jax.numpy as jnp
+    from pailliercryptolib_python_tpu.ops import montgomery as mg
+    from pailliercryptolib_python_tpu.ops.limb import (
+        ints_to_limbs, limbs_to_ints, limbs_for_bits)
+
+    r = random.Random(10)
+    n = (r.getrandbits(250) | (1 << 249) | 1)
+    L = limbs_for_bits(n.bit_length() + 2)
+    ctx = mg.MontCtx.for_modulus(n, min_bits=16 * L)
+    K = L + 2
+    for j in (1, 2, 3):
+        bits = min(16 * K - 8, n.bit_length() + 16 * j - 1)
+        vals = [r.getrandbits(bits) for _ in range(5)]
+        T = jnp.asarray(ints_to_limbs(vals, K))
+        out = limbs_to_ints(np.asarray(mg.mont_reduce_wide(T, ctx,
+                                                           iters=j)))
+        inv = pow(1 << (16 * j), -1, n)
+        for v, g in zip(vals, out):
+            assert g % n == v * inv % n, f"short REDC iters={j}"
+            assert g < 2 * n, f"short REDC bound iters={j}"
