@@ -273,8 +273,9 @@ class RnsModulus:
                            dtype=np.uint32)[:, None]
         c_enter = np.array([pow(2, 64, mc) for mc in all_mods],
                            dtype=np.uint32)[:, None]
-        k4 = pow(R, 3, m) * pow(M % m, -1, m) % m
-        k5 = pow(R, 4, m) * pow(M % m, -1, m) % m
+        ej = exit_redc_iters(base, L)
+        k4 = pow(R, 2, m) * pow(2, 16 * ej, m) % m * pow(M % m, -1, m) % m
+        k5 = pow(R, 3, m) * pow(2, 16 * ej, m) % m * pow(M % m, -1, m) % m
         Mm = M % m
         one_ch = np.array([(Mm % mc) * (1 << 16) % mc for mc in all_mods],
                           dtype=np.uint32)[:, None]
@@ -542,12 +543,26 @@ def _enter_planes(base: RnsBase, L: int):
     return _enter_planes_np(base.mbits, L)
 
 
+def exit_redc_iters(base: RnsBase, L: int) -> int:
+    """REDC steps for the SK-exit short reduction: enough that
+    z~ < k*M shrinks below m/4 for the smallest modulus the base
+    serves (m >= 2^(mbits-16)), and that every limb row above L has
+    shifted out.  Folding 2^(16j) into k4/k5 replaces the full
+    L-iteration reduction (L=257 at the 2048-bit encrypt exit) with
+    ~4-5 steps — the exit was ~40% of the encrypt chain's fixed cost
+    (round 5)."""
+    j1 = -(-((base.k * base.M).bit_length() - (base.mbits - 16) + 2) // 16)
+    j2 = base.L_W - L
+    return max(j1, j2, 1)
+
+
 def rns_exit(Z, base: RnsBase, key: RnsModulus, sq_ctx, L: int):
     """RNS state of z~ = c^e * M (< (k+1)m) -> canonical limbs of
-    c^e mod m (Shenoy-Kumaresan CRT to limbs, then one positional
-    Montgomery fold by |R^3 M^-1| and a standard Montgomery exit)."""
+    c^e mod m (Shenoy-Kumaresan CRT to limbs, a SHORT positional REDC,
+    one Montgomery fold by |R^2 2^16j M^-1| and a standard exit)."""
     z_limbs = _exit_limbs(Z, base)
-    t = mg.mont_reduce_wide(z_limbs, sq_ctx)            # z~ * R^-1, < 2m
+    t = mg.mont_reduce_wide(z_limbs, sq_ctx,
+                            iters=exit_redc_iters(base, L))
     u = mg.mont_mul(t, key.k4_limbs, sq_ctx)            # c^e * R (Mont form)
     return mg.from_mont(u, sq_ctx)                      # canonical < m
 
@@ -744,7 +759,8 @@ def rns_comb_product(ct_raw, comb_rns, digits, base: RnsBase,
 
     Z = lax.fori_loop(0, n_win, body, X)
     z_limbs = _exit_limbs(Z, base)
-    t = mg.mont_reduce_wide(z_limbs, sq_ctx)
+    t = mg.mont_reduce_wide(z_limbs, sq_ctx,
+                            iters=exit_redc_iters(base, L))
     fold = key.k4_limbs if mont_input else key.k5_limbs
     return mg.mont_mul(t, fold, sq_ctx)
 
