@@ -32,7 +32,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .rns import (
-    RnsBase, RnsModulus, _cmul, _cmul2, _combine_planes, _submod)
+    RnsBase, RnsModulus, _cmul, _cmul2, _cmul_shoup, _combine_dual,
+    combine_levels, _submod)
 
 INTERPRET = False
 
@@ -67,8 +68,11 @@ def tb_for(CH: int, window: int,
         return None
     CHP = _pad8(CH)
     rows = (1 << window) * CHP + _WORK_ROWS * CHP
+    # 8(k+1)k: the E1/E2 weight stacks doubled (4 quarters) vs the
+    # calibration that set _WORK_ROWS; charge the delta explicitly
+    ebytes = 8 * (k + 1) * k
     for tb in tbs:
-        if 4 * tb * rows <= _VMEM_BUDGET:
+        if 4 * tb * rows + ebytes <= _VMEM_BUDGET:
             return tb
     return None
 
@@ -93,8 +97,9 @@ def _pick_tb_mul(CH: int, B: int) -> int:
     3072/4096 channel counts — ~2x slower compiled code — so the pick
     must respect the same budget model as the chain kernels.)"""
     CHP = _pad8(CH)
+    k = (CH - 1) // 2
     for tb in ((256, 128) if B >= 256 else (128,)):
-        if 4 * tb * _MUL_WORK_ROWS * CHP <= _VMEM_BUDGET:
+        if 4 * tb * _MUL_WORK_ROWS * CHP + 8 * (k + 1) * k <= _VMEM_BUDGET:
             return tb
     return 128
 
@@ -103,14 +108,16 @@ def _pick_tb_mul(CH: int, B: int) -> int:
 # Host-side weight packing (cached per (base, key) identity).
 # ---------------------------------------------------------------------------
 
-def _center_stack(lo: np.ndarray, hi: np.ndarray):
-    """[lo; hi] byte planes -> centered bf16 matrix + row-sum vector.
+def _center_stack(c_lo, c_hi, d_lo, d_hi):
+    """[C_lo; D_lo; C_hi; D_hi] byte planes -> centered bf16 matrix +
+    row-sum vector (quarters sliced back apart in _dots_c).
 
     (Round-5 measured NEGATIVE: folding the digit column-sums into the
     matmul via an appended ones row — 2 wide dots instead of 4 + VPU
     reductions — was ~8% slower end-to-end, with or without
     sublane-aligned output blocks.  The VPU reductions stay.)"""
-    E = np.concatenate([lo, hi], axis=0).astype(np.int32) - 128
+    E = np.concatenate([c_lo, d_lo, c_hi, d_hi],
+                       axis=0).astype(np.int32) - 128
     CS = E.sum(axis=1, keepdims=True).astype(np.int32)
     return E.astype(np.float32).astype(jnp.bfloat16), CS
 
@@ -137,17 +144,20 @@ def _pack_static(mbits: int):
     base = RnsBase.for_bits(mbits)
     k, CH = base.k, base.CH
     CHP = _pad8(CH)
-    vec = np.zeros((CHP, 8), dtype=np.uint32)
+    vec = np.zeros((CHP, 16), dtype=np.uint32)
     vec[:, 0] = 1                                     # pad-row modulus
     vec[:CH, 0] = np.asarray(base.mods)[:, 0]
     vec[:CH, 1] = np.asarray(base.n0)[:, 0]
     vec[:CH, 2] = np.asarray(base.n032)[:, 0]
-    vec[k:2 * k, 3] = np.asarray(base.K2g)[:, 0]      # xi' mult (B' rows)
+    vec[k:2 * k, 3] = np.asarray(base.K2s)[:, 0]      # xi' Shoup (B' rows)
+    vec[k:2 * k, 8] = np.asarray(base.K2sh)[:, 0]
     skc = np.zeros((8, 1), dtype=np.uint32)
     skc[0, 0] = np.asarray(base.exit_c)[0, 0]         # |2^48 M'^-1|_mr
     skc[1, 0] = np.asarray(base.exit_c)[1, 0]         # |M'^-1|_mr
-    E1, CS1 = _center_stack(np.asarray(base.C1_lo), np.asarray(base.C1_hi))
-    E2, CS2 = _center_stack(np.asarray(base.C2_lo), np.asarray(base.C2_hi))
+    E1, CS1 = _center_stack(np.asarray(base.C1_lo), np.asarray(base.C1_hi),
+                            np.asarray(base.D1_lo), np.asarray(base.D1_hi))
+    E2, CS2 = _center_stack(np.asarray(base.C2_lo), np.asarray(base.C2_hi),
+                            np.asarray(base.D2_lo), np.asarray(base.D2_hi))
     return dict(vec=vec, skc=skc, E1=E1, CS1=CS1, E2=E2, CS2=CS2,
                 CHP=CHP)
 
@@ -166,7 +176,8 @@ def pack(mbits: int, m: int):
     s = _pack_static(mbits)
     CHP = s["CHP"]
     vec = s["vec"].copy()
-    vec[:k, 3] = kv["K1"][:, 0]                       # xi mult (B rows)
+    vec[:k, 3] = kv["K1s"][:, 0]                      # xi Shoup (B rows)
+    vec[:k, 8] = kv["K1sh"][:, 0]
     vec[k:2 * k + 1, 4] = kv["u5"][:, 0]              # B' ++ m_r
     vec[k:2 * k + 1, 5] = kv["v5"][:, 0]
     vec[:k, 6] = kv["w9n"][:, 0]
@@ -193,7 +204,7 @@ def kernel_operands(base: RnsBase, key: RnsModulus):
     size hits the persistent compilation cache instead of recompiling
     the multi-second encrypt/decrypt programs."""
     import jax.core
-    if not isinstance(key.K1, jax.core.Tracer):
+    if not isinstance(key.K1s, jax.core.Tracer):
         return pack(base.mbits, key.m)
     s = _pack_static(base.mbits)
     k, CH, CHP = base.k, base.CH, s["CHP"]
@@ -203,12 +214,15 @@ def kernel_operands(base: RnsBase, key: RnsModulus):
 
     vb = s["vec"]
     c012 = [jnp.asarray(vb[:, i]) for i in range(3)]
-    c3 = pad_to(jnp.concatenate([key.K1[:, 0], base.K2g[:, 0]]), 0)
+    c3 = pad_to(jnp.concatenate([key.K1s[:, 0], base.K2s[:, 0]]), 0)
     c4 = pad_to(key.u5[:, 0], k)
     c5 = pad_to(key.v5[:, 0], k)
     c6 = pad_to(key.w9n[:, 0], 0)
     c7 = pad_to(key.w9b[:, 0], 0)
-    vec = jnp.stack(c012 + [c3, c4, c5, c6, c7], axis=1)
+    c8 = pad_to(jnp.concatenate([key.K1sh[:, 0], base.K2sh[:, 0]]), 0)
+    zero = jnp.zeros_like(c3)
+    vec = jnp.stack(c012 + [c3, c4, c5, c6, c7, c8] + [zero] * 7,
+                    axis=1)
     one = jnp.pad(key.one_ch, ((0, CHP - CH), (0, 0)))
     return dict(s, vec=vec, one=one)
 
@@ -219,8 +233,9 @@ def kernel_operands(base: RnsBase, key: RnsModulus):
 
 def _dots_c(xi, E, CS, out_rows):
     """Centered-bf16 plane dots of 16-bit digits xi (k_in, TB) against
-    the stacked matrix E = [lo'; hi'] ((2*out_rows, k_in) bf16).
-    Returns exact int32 S00, mid, S11 (out_rows, TB)."""
+    the stacked matrix E = [C_lo'; D_lo'; C_hi'; D_hi'] ((4*out_rows,
+    k_in) bf16, D = 2^8 C mod m pre-folded).  Returns exact int32
+    S_A, S_B (out_rows, TB) with true dot = S_A + 2^8 S_B."""
     k_in = E.shape[1]
     x0 = (xi & 0xFF).astype(jnp.int32)
     x1 = (xi >> 8).astype(jnp.int32)
@@ -228,46 +243,42 @@ def _dots_c(xi, E, CS, out_rows):
     x1c = (x1 - 128).astype(jnp.bfloat16)
     s0 = jnp.sum(x0, axis=0, keepdims=True) - 128 * k_in
     s1 = jnp.sum(x1, axis=0, keepdims=True) - 128 * k_in
-    El, Eh = E[:out_rows], E[out_rows:]
-    cl, chi = CS[:out_rows], CS[out_rows:]
 
     def dot(a, b):
         return jnp.dot(a, b, preferred_element_type=jnp.float32
                        ).astype(jnp.int32)
 
+    o = out_rows
     off = 128 * 128 * k_in
-    S00 = dot(El, x0c) + 128 * s0 + 128 * cl + off
-    S11 = dot(Eh, x1c) + 128 * s1 + 128 * chi + off
-    mid = (dot(El, x1c) + dot(Eh, x0c)
-           + 128 * (s0 + s1) + 128 * (cl + chi) + 2 * off)
-    return S00, mid, S11
+    S_A = (dot(E[:o], x0c) + dot(E[o:2 * o], x1c)
+           + 128 * (s0 + s1) + 128 * (CS[:o] + CS[o:2 * o]) + 2 * off)
+    S_B = (dot(E[2 * o:3 * o], x0c) + dot(E[3 * o:], x1c)
+           + 128 * (s0 + s1) + 128 * (CS[2 * o:3 * o] + CS[3 * o:])
+           + 2 * off)
+    return S_A, S_B
 
 
-def _combine(S00, mid, S11, mods, n032):
-    """ops/rns._combine_planes on kernel values (radix-2^32 REDC)."""
-    return _combine_planes(S00, mid, S11, mods, n032)
-
-
-def _mul_val(X, Y, c, *, k, CH, CHP):
+def _mul_val(X, Y, c, *, k, CH, CHP, nlev):
     """One RNS-Montgomery product on kernel values ((CHP, TB) uint32).
     `c` is the unpacked constant bundle.  Mirrors rns.rns_mont_mul."""
-    (mods, n0, n032, ximul, u5, v5, w9n, w9b, skc, E1, CS1, E2,
+    (mods, n0, n032, ximul, u5, v5, w9n, w9b, ximulh, skc, E1, CS1, E2,
      CS2) = c
     TB = X.shape[1]
     mB, n0B = mods[:k], n0[:k]
-    mT, n0T, n32T = mods[k:CH], n0[k:CH], n032[k:CH]    # B' ++ m_r
+    mT, n0T = mods[k:CH], n0[k:CH]                      # B' ++ m_r
     mR, n0R = mods[2 * k:CH], n0[2 * k:CH]
 
     S = _cmul(X, Y, mods, n0)
-    xi = _cmul(S[:k], ximul[:k], mB, n0B)
-    S00, mid, S11 = _dots_c(xi, E1, CS1, k + 1)
-    Q = _combine(S00, mid, S11, mT, n32T)
+    xi = _cmul_shoup(S[:k], ximul[:k], ximulh[:k], mB)
+    S_A, S_B = _dots_c(xi, E1, CS1, k + 1)
+    Q = _combine_dual(S_A, S_B, mT, n0T, nlev)
     Rp = _cmul2(S[k:CH], u5[k:CH], Q, v5[k:CH], mT, n0T)
-    xip = _cmul(Rp[:k], ximul[k:2 * k], mods[k:2 * k], n0[k:2 * k])
-    T00, tmid, T11 = _dots_c(xip, E2, CS2, k + 1)
+    xip = _cmul_shoup(Rp[:k], ximul[k:2 * k], ximulh[k:2 * k],
+                      mods[k:2 * k])
+    T_A, T_B = _dots_c(xip, E2, CS2, k + 1)
     tgt_m = jnp.concatenate([mB, mR], axis=0)
-    tgt_n32 = jnp.concatenate([n032[:k], n032[2 * k:CH]], axis=0)
-    Zh = _combine(T00, tmid, T11, tgt_m, tgt_n32)
+    tgt_n0 = jnp.concatenate([n0B, n0R], axis=0)
+    Zh = _combine_dual(T_A, T_B, tgt_m, tgt_n0, nlev)
     a = _cmul(Zh[k:], skc[0:1], mR, n0R)
     b = _cmul(Rp[k:], skc[1:2], mR, n0R)
     delta = _submod(a, b, mR)
@@ -279,16 +290,16 @@ def _mul_val(X, Y, c, *, k, CH, CHP):
 
 def _rns_exp_kernel(dig_ref, x_ref, vec_ref, skc_ref, e1_ref, cs1_ref,
                     e2_ref, cs2_ref, one_ref, o_ref, tab_scr, *,
-                    window, k, CH):
+                    window, k, CH, nlev):
     CHP, TB = x_ref.shape
     vec = vec_ref[...]
     c = (vec[:, 0:1], vec[:, 1:2], vec[:, 2:3], vec[:, 3:4],
          vec[:, 4:5], vec[:, 5:6], vec[:, 6:7], vec[:, 7:8],
-         skc_ref[...], e1_ref[...], cs1_ref[...], e2_ref[...],
-         cs2_ref[...])
+         vec[:, 8:9], skc_ref[...], e1_ref[...], cs1_ref[...],
+         e2_ref[...], cs2_ref[...])
 
     def mul(x, y):
-        return _mul_val(x, y, c, k=k, CH=CH, CHP=CHP)
+        return _mul_val(x, y, c, k=k, CH=CH, CHP=CHP, nlev=nlev)
 
     one = jnp.broadcast_to(one_ref[...], (CHP, TB))
     base = x_ref[...]
@@ -312,9 +323,10 @@ def _rns_exp_kernel(dig_ref, x_ref, vec_ref, skc_ref, e1_ref, cs1_ref,
     o_ref[...] = lax.fori_loop(0, n_win, wbody, one)
 
 
-@functools.partial(jax.jit, static_argnames=("window", "tb", "k", "CH"))
+@functools.partial(jax.jit,
+                   static_argnames=("window", "tb", "k", "CH", "nlev"))
 def _exp_call(x, digits, vec, skc, E1, CS1, E2, CS2, one, *, window,
-              tb, k, CH):
+              tb, k, CH, nlev):
     CHP = vec.shape[0]
     B = x.shape[1]
     BP = -(-B // tb) * tb
@@ -338,7 +350,8 @@ def _exp_call(x, digits, vec, skc, E1, CS1, E2, CS2, one, *, window,
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_rns_exp_kernel, window=window, k=k, CH=CH),
+        functools.partial(_rns_exp_kernel, window=window, k=k, CH=CH,
+                          nlev=nlev),
         out_shape=jax.ShapeDtypeStruct((CHP, BP), jnp.uint32),
         grid_spec=grid_spec,
         interpret=INTERPRET,
@@ -348,7 +361,7 @@ def _exp_call(x, digits, vec, skc, E1, CS1, E2, CS2, one, *, window,
 
 def _rns_exp_elem_kernel(x_ref, dig_ref, vec_ref, skc_ref, e1_ref,
                          cs1_ref, e2_ref, cs2_ref, one_ref, o_ref,
-                         tab_scr, *, window, k, CH):
+                         tab_scr, *, window, k, CH, nlev):
     """Per-element-exponent chain: digits arrive as a (n_win, TB) VMEM
     block; window-table selection is a tsize-pass one-hot mask-select
     (same approach as the positional per-element kernel,
@@ -357,11 +370,11 @@ def _rns_exp_elem_kernel(x_ref, dig_ref, vec_ref, skc_ref, e1_ref,
     vec = vec_ref[...]
     c = (vec[:, 0:1], vec[:, 1:2], vec[:, 2:3], vec[:, 3:4],
          vec[:, 4:5], vec[:, 5:6], vec[:, 6:7], vec[:, 7:8],
-         skc_ref[...], e1_ref[...], cs1_ref[...], e2_ref[...],
-         cs2_ref[...])
+         vec[:, 8:9], skc_ref[...], e1_ref[...], cs1_ref[...],
+         e2_ref[...], cs2_ref[...])
 
     def mul(x, y):
-        return _mul_val(x, y, c, k=k, CH=CH, CHP=CHP)
+        return _mul_val(x, y, c, k=k, CH=CH, CHP=CHP, nlev=nlev)
 
     one = jnp.broadcast_to(one_ref[...], (CHP, TB))
     base = x_ref[...]
@@ -388,9 +401,10 @@ def _rns_exp_elem_kernel(x_ref, dig_ref, vec_ref, skc_ref, e1_ref,
     o_ref[...] = lax.fori_loop(0, n_win, wbody, one)
 
 
-@functools.partial(jax.jit, static_argnames=("window", "tb", "k", "CH"))
+@functools.partial(jax.jit,
+                   static_argnames=("window", "tb", "k", "CH", "nlev"))
 def _exp_elem_call(x, digits, vec, skc, E1, CS1, E2, CS2, one, *,
-                   window, tb, k, CH):
+                   window, tb, k, CH, nlev):
     CHP = vec.shape[0]
     B = x.shape[1]
     BP = -(-B // tb) * tb
@@ -411,7 +425,7 @@ def _exp_elem_call(x, digits, vec, skc, E1, CS1, E2, CS2, one, *,
                                 memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_rns_exp_elem_kernel, window=window, k=k,
-                          CH=CH),
+                          CH=CH, nlev=nlev),
         out_shape=jax.ShapeDtypeStruct((CHP, BP), jnp.uint32),
         grid=(BP // tb,),
         in_specs=[bs, ds_, ws(vec.shape), ws(skc.shape), ws(E1.shape),
@@ -427,19 +441,19 @@ def _exp_elem_call(x, digits, vec, skc, E1, CS1, E2, CS2, one, *,
 
 
 def _rns_mul_kernel(a_ref, b_ref, vec_ref, skc_ref, e1_ref, cs1_ref,
-                    e2_ref, cs2_ref, o_ref, *, k, CH):
+                    e2_ref, cs2_ref, o_ref, *, k, CH, nlev):
     """Single RNS-Montgomery product (the streamed encrypt-comb step)."""
     vec = vec_ref[...]
     c = (vec[:, 0:1], vec[:, 1:2], vec[:, 2:3], vec[:, 3:4],
          vec[:, 4:5], vec[:, 5:6], vec[:, 6:7], vec[:, 7:8],
-         skc_ref[...], e1_ref[...], cs1_ref[...], e2_ref[...],
-         cs2_ref[...])
+         vec[:, 8:9], skc_ref[...], e1_ref[...], cs1_ref[...],
+         e2_ref[...], cs2_ref[...])
     o_ref[...] = _mul_val(a_ref[...], b_ref[...], c, k=k, CH=CH,
-                          CHP=a_ref.shape[0])
+                          CHP=a_ref.shape[0], nlev=nlev)
 
 
-@functools.partial(jax.jit, static_argnames=("tb", "k", "CH"))
-def _mul_call(a, b, vec, skc, E1, CS1, E2, CS2, *, tb, k, CH):
+@functools.partial(jax.jit, static_argnames=("tb", "k", "CH", "nlev"))
+def _mul_call(a, b, vec, skc, E1, CS1, E2, CS2, *, tb, k, CH, nlev):
     CHP = vec.shape[0]
     B = a.shape[1]
     BP = -(-B // tb) * tb
@@ -452,7 +466,7 @@ def _mul_call(a, b, vec, skc, E1, CS1, E2, CS2, *, tb, k, CH):
     ws = lambda s: pl.BlockSpec(s, lambda j: tuple(0 for _ in s),
                                 memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_rns_mul_kernel, k=k, CH=CH),
+        functools.partial(_rns_mul_kernel, k=k, CH=CH, nlev=nlev),
         out_shape=jax.ShapeDtypeStruct((CHP, BP), jnp.uint32),
         grid=(BP // tb,),
         in_specs=[bs, bs, ws(vec.shape), ws(skc.shape), ws(E1.shape),
@@ -470,7 +484,8 @@ def rns_mul_p(A, B_state, base: RnsBase, key: RnsModulus,
     B = A.shape[1]
     tb = tb or _pick_tb_mul(base.CH, B)
     out = _mul_call(A, B_state, p["vec"], p["skc"], p["E1"], p["CS1"],
-                    p["E2"], p["CS2"], tb=tb, k=base.k, CH=base.CH)
+                    p["E2"], p["CS2"], tb=tb, k=base.k, CH=base.CH,
+                    nlev=combine_levels(base.mbits))
     return out[:base.CH, :B]
 
 
@@ -485,7 +500,8 @@ def rns_exp_elem_p(X, digits, base: RnsBase, key: RnsModulus,
     B = X.shape[1]
     out = _exp_elem_call(X, digits, p["vec"], p["skc"], p["E1"],
                          p["CS1"], p["E2"], p["CS2"], p["one"],
-                         window=window, tb=tb, k=base.k, CH=base.CH)
+                         window=window, tb=tb, k=base.k, CH=base.CH,
+                         nlev=combine_levels(base.mbits))
     return out[:base.CH, :B]
 
 
@@ -505,5 +521,6 @@ def rns_exp_shared_p(X, digits, base: RnsBase, key: RnsModulus,
     B = X.shape[1]
     out = _exp_call(X, digits, p["vec"], p["skc"], p["E1"], p["CS1"],
                     p["E2"], p["CS2"], p["one"], window=window, tb=tb,
-                    k=base.k, CH=base.CH)
+                    k=base.k, CH=base.CH,
+                    nlev=combine_levels(base.mbits))
     return out[:base.CH, :B]

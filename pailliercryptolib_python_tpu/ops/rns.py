@@ -141,11 +141,23 @@ class RnsBase:
     K1g: jnp.ndarray         # (k, 1) |(M/m_i)^-1|_{m_i}   (true-form xi mult)
     K2g: jnp.ndarray         # (k, 1) |(M'/m'_j)^-1|_{m'_j}
     exit_c: jnp.ndarray      # (3, 1): [|2^48 M^-1|, |M^-1 2^16|, 1]_{m_r}
+    K2s: jnp.ndarray         # (k, 1) |K2g 2^-16|_{m'_j}  (Shoup xi' value)
+    K2sh: jnp.ndarray        # (k, 1) floor(K2s 2^16 / m'_j)
+    K1gs: jnp.ndarray        # (k, 1) |K1g 2^-16|_{m_i}   (Shoup exit xi)
+    K1gsh: jnp.ndarray       # (k, 1) floor(K1gs 2^16 / m_i)
+    # pre-folded mid-plane weights D = (2^8 C) mod target: the chain's
+    # extension dots then need only TWO accumulators (see _combine_dual)
+    D1_lo: jnp.ndarray       # (k+1, k) byte planes of (2^8 C1) mod tgt
+    D1_hi: jnp.ndarray
+    D2_lo: jnp.ndarray       # (k+1, k) byte planes of (2^8 C2) mod tgt
+    D2_hi: jnp.ndarray
 
     def tree_flatten(self):
         children = (self.mods, self.n0, self.n032, self.C1_lo, self.C1_hi,
                     self.C2_lo, self.C2_hi, self.W_lo, self.W_hi,
-                    self.K1g, self.K2g, self.exit_c)
+                    self.K1g, self.K2g, self.exit_c, self.K2s, self.K2sh,
+                    self.K1gs, self.K1gsh, self.D1_lo, self.D1_hi,
+                    self.D2_lo, self.D2_hi)
         aux = (self.mbits, self.k, self.M, self.Mp, self.m_r,
                self.mods_B_int, self.mods_Bp_int)
         return children, aux
@@ -199,8 +211,10 @@ class RnsBase:
                         for mj in mods_Bp], dtype=np.uint32)[:, None]
         # SK-offset constants (redundant channel): the second extension
         # reconstructs modulo M' = prod(B'), so these invert M'.
+        # (exit_c[0] carries 2^32, not 2^48: the dual-accumulator combine
+        # leaves Zh with scale 2^-16 instead of the old 2^-32.)
         exit_c = np.array([
-            (1 << 48) % m_r * pow(Mp % m_r, -1, m_r) % m_r,
+            (1 << 32) % m_r * pow(Mp % m_r, -1, m_r) % m_r,
             pow(Mp % m_r, -1, m_r),
             1,
         ], dtype=np.uint32)[:, None]
@@ -211,13 +225,30 @@ class RnsBase:
         # k <= 900, enforced at the Pallas dispatch via pallas_rns).
         assert 2 * k * 255 * 255 < (1 << 31)
         assert k <= 900, "f32-exact MXU accumulation bound"
+        def shoup_col(vals, mlist):
+            pairs = [_shoup_pair(int(v) * pow(1 << 16, -1, mi), mi)
+                     for v, mi in zip(vals[:, 0], mlist)]
+            c = np.array([p[0] for p in pairs], dtype=np.uint32)[:, None]
+            ch = np.array([p[1] for p in pairs], dtype=np.uint32)[:, None]
+            return c, ch
+
+        K2s, K2sh = shoup_col(K2g, mods_Bp)
+        K1gs, K1gsh = shoup_col(K1g, mods_B)
+        tmods1 = np.array(tgt1, dtype=np.uint64)[:, None]
+        tmods2 = np.array(tgt2, dtype=np.uint64)[:, None]
+        D1 = ((C1.astype(np.uint64) << 8) % tmods1).astype(np.uint32)
+        D2 = ((C2.astype(np.uint64) << 8) % tmods2).astype(np.uint32)
         j = lambda a: jnp.asarray(a)
         C1_lo, C1_hi = _byte_planes(C1)
         C2_lo, C2_hi = _byte_planes(C2)
+        D1_lo, D1_hi = _byte_planes(D1)
+        D2_lo, D2_hi = _byte_planes(D2)
         W_lo, W_hi = _byte_planes(W)
         return cls(mbits, k, M, Mp, m_r, tuple(mods_B), tuple(mods_Bp),
                    j(mods), j(n0), j(n032), j(C1_lo), j(C1_hi), j(C2_lo),
-                   j(C2_hi), j(W_lo), j(W_hi), j(K1g), j(K2g), j(exit_c))
+                   j(C2_hi), j(W_lo), j(W_hi), j(K1g), j(K2g), j(exit_c),
+                   j(K2s), j(K2sh), j(K1gs), j(K1gsh), j(D1_lo), j(D1_hi),
+                   j(D2_lo), j(D2_hi))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -231,7 +262,8 @@ class RnsModulus:
     of the companion MontCtx (2^(16 L_h))."""
 
     m: int                   # aux (python int)
-    K1: jnp.ndarray          # (k, 1)  |-m^-1 (M/m_i)^-1|_{m_i}
+    K1s: jnp.ndarray         # (k, 1)  |-m^-1 (M/m_i)^-1 2^-16|_{m_i} (Shoup)
+    K1sh: jnp.ndarray        # (k, 1)  floor(K1s 2^16 / m_i)
     u5: jnp.ndarray          # (k+1, 1) |M^-1 2^16|   on B' ++ m_r
     v5: jnp.ndarray          # (k+1, 1) |m M^-1 2^64| on B' ++ m_r
     w9n: jnp.ndarray         # (k, 1)  |-M' 2^32|_{m_i} (fused SK corr.)
@@ -252,9 +284,9 @@ class RnsModulus:
     # "heavy per-key RNS setup" verdict).
 
     def tree_flatten(self):
-        return (self.K1, self.u5, self.v5, self.w9n, self.w9b,
-                self.y_enter, self.c_enter, self.K3, self.k4_limbs,
-                self.one_ch, self.k5_limbs), (self.m,)
+        return (self.K1s, self.K1sh, self.u5, self.v5, self.w9n,
+                self.w9b, self.y_enter, self.c_enter, self.K3,
+                self.k4_limbs, self.one_ch, self.k5_limbs), (self.m,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -280,9 +312,9 @@ class RnsModulus:
         one_ch = np.array([(Mm % mc) * (1 << 16) % mc for mc in all_mods],
                           dtype=np.uint32)[:, None]
         j = lambda a: jnp.asarray(a)
-        return cls(m, j(v["K1"]), j(v["u5"]), j(v["v5"]), j(v["w9n"]),
-                   j(v["w9b"]), j(y_enter), j(c_enter), base.K1g,
-                   j(int_to_limbs(k4, L)[:, None]), j(one_ch),
+        return cls(m, j(v["K1s"]), j(v["K1sh"]), j(v["u5"]), j(v["v5"]),
+                   j(v["w9n"]), j(v["w9b"]), j(y_enter), j(c_enter),
+                   base.K1g, j(int_to_limbs(k4, L)[:, None]), j(one_ch),
                    j(int_to_limbs(k5, L)[:, None]))
 
 
@@ -300,25 +332,32 @@ def modulus_vectors(mbits: int, m: int) -> dict:
     K1 = np.array([minv_M[i] * pow((M // mi) % mi, -1, mi) % mi
                    for i, mi in enumerate(mods_B)],
                   dtype=np.uint32)[:, None]
+    k1p = [_shoup_pair(int(K1[i, 0]) * pow(1 << 16, -1, mi), mi)
+           for i, mi in enumerate(mods_B)]
+    K1s = np.array([p[0] for p in k1p], dtype=np.uint32)[:, None]
+    K1sh = np.array([p[1] for p in k1p], dtype=np.uint32)[:, None]
     tgt = list(mods_Bp) + [m_r]
     u5 = np.array([pow(M % mj, -1, mj) * (1 << 16) % mj for mj in tgt],
                   dtype=np.uint32)[:, None]
+    # v5 / w9b multiply combine outputs, whose scale is 2^-16 under the
+    # dual-accumulator scheme (was 2^-32) — hence 2^48, not 2^64
     v5 = np.array([(m % mj) * pow(M % mj, -1, mj) % mj
-                   * pow(2, 64, mj) % mj for mj in tgt],
+                   * pow(2, 48, mj) % mj for mj in tgt],
                   dtype=np.uint32)[:, None]
     w9a = np.array([(Mp % mi) * pow(1 << 16, -1, mi) % mi
                     for mi in mods_B], dtype=np.uint32)[:, None]
-    w9b = np.array([pow(2, 64, mi) for mi in mods_B],
+    w9b = np.array([pow(2, 48, mi) for mi in mods_B],
                    dtype=np.uint32)[:, None]
-    # fused SK-exit constant: w9n = -w9a*w9b*2^-16 mod m_i, so the tail
-    # Z = (Zh - delta*w9a*2^-16)*w9b*2^-16 collapses to one paired
-    # product Z = (Zh*w9b + delta*w9n)*2^-16 (see _cmul2)
+    # fused SK-exit constant: w9n = -w9a*2^64*2^-16 mod m_i, so the tail
+    # Z = (Zh - delta*w9a*2^-16)*2^64*2^-16 collapses to one paired
+    # product Z = (Zh*w9b + delta*w9n)*2^-16 (see _cmul2; w9n keeps the
+    # pre-rescale 2^64 factor — the 2^16 shift lives in Zh, not delta)
     w9n = np.array([
-        (-int(w9a[i, 0]) * int(w9b[i, 0])
+        (-int(w9a[i, 0]) * pow(2, 64, mi)
          * pow(1 << 16, -1, mi)) % mi
         for i, mi in enumerate(mods_B)], dtype=np.uint32)[:, None]
-    return {"K1": K1, "u5": u5, "v5": v5, "w9a": w9a, "w9b": w9b,
-            "w9n": w9n}
+    return {"K1": K1, "K1s": K1s, "K1sh": K1sh, "u5": u5, "v5": v5,
+            "w9a": w9a, "w9b": w9b, "w9n": w9n}
 
 
 # ---------------------------------------------------------------------------
@@ -335,6 +374,15 @@ def _csub(r, mods):
     return jnp.where(r >= mods, r - mods, r)
 
 
+def _carry16(tl):
+    """The 2^16-carry of tl + (u*m mod 2^16) in a 16-bit REDC.
+
+    u*m === -tl (mod 2^16) by construction of u, so the two sub-2^16
+    halves sum to exactly 0 or 2^16: the carry is just (tl != 0) — one
+    compare+cast instead of and/add/shift (round-5 lever)."""
+    return (tl != 0).astype(jnp.uint32)
+
+
 def _cmul(a, b, mods, n0):
     """Channel product with 16-bit REDC: a*b*2^-16 mod m, output < m.
 
@@ -344,7 +392,7 @@ def _cmul(a, b, mods, n0):
     u = (tl * n0) & MASK16
     um = u * mods
     # (t + um) / 2^16 without the 33-bit intermediate
-    r = (t >> 16) + (um >> 16) + ((tl + (um & MASK16)) >> 16)
+    r = (t >> 16) + (um >> 16) + _carry16(tl)
     return _csub(r, mods)
 
 
@@ -353,8 +401,29 @@ def _redc(t, mods, n0):
     tl = t & MASK16
     u = (tl * n0) & MASK16
     um = u * mods
-    r = (t >> 16) + (um >> 16) + ((tl + (um & MASK16)) >> 16)
+    r = (t >> 16) + (um >> 16) + _carry16(tl)
     return _csub(_csub(r, mods), mods)
+
+
+def _cmul_shoup(a, c, ch, mods):
+    """Constant channel product a*c mod m via Shoup precomputation.
+
+    a < 2^16 reduced, c < m a CONSTANT with companion
+    ch = floor(c * 2^16 / m).  q = (a*ch) >> 16 is within 1 of
+    floor(a*c/m), so r = a*c - q*m (wrapping uint32, exact since
+    0 <= r < 2m < 2^32) needs one conditional subtract.  ~8 VPU ops
+    against _cmul's ~14 — used for the xi / xi' passes of every
+    RNS-Montgomery product (round-5 lever).  NOTE: no 2^-16 REDC scale —
+    fold it into the constant."""
+    q = (a * ch) >> 16
+    r = a * c - q * mods
+    return _csub(r, mods)
+
+
+def _shoup_pair(c_int, m_int):
+    """Host helper: (c mod m, floor(c * 2^16 / m)) for _cmul_shoup."""
+    c = c_int % m_int
+    return c, (c << 16) // m_int
 
 
 def _cmul2(a, b, c, d, mods, n0):
@@ -372,7 +441,7 @@ def _cmul2(a, b, c, d, mods, n0):
     ll = lo & MASK16
     u = (ll * n0) & MASK16
     um = u * mods
-    r = hi + (lo >> 16) + (um >> 16) + ((ll + (um & MASK16)) >> 16)
+    r = hi + (lo >> 16) + (um >> 16) + _carry16(ll)
     return _csub(_csub(r, mods), mods)                # r < 3m
 
 
@@ -416,6 +485,68 @@ def _plane_dots(x, W_lo, W_hi):
     return S00, mid, S11
 
 
+def _plane_dots_dual(x, C_lo, C_hi, D_lo, D_hi):
+    """16-bit digits x (k, B) against C and D = (2^8 C mod m) planes.
+
+    S_A = C_lo.x0 + D_lo.x1 and S_B = C_hi.x0 + D_hi.x1 (exact int32),
+    so the true dot is S_A + 2^8*S_B: the mid byte-plane's 2^8 factor is
+    PRE-REDUCED into the D weights, leaving two accumulators instead of
+    three — same centered-int8 MXU MAC count, but the per-row reduction
+    collapses to _combine_dual's single 16-bit REDC (round-5 lever)."""
+    k_in = x.shape[0]
+    x0 = (x & 0xFF).astype(jnp.int32)
+    x1 = (x >> 8).astype(jnp.int32)
+    x0c = (x0 - 128).astype(jnp.int8)
+    x1c = (x1 - 128).astype(jnp.int8)
+    s0 = jnp.sum(x0, axis=0, keepdims=True) - 128 * k_in
+    s1 = jnp.sum(x1, axis=0, keepdims=True) - 128 * k_in
+    dot = partial(lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
+                  preferred_element_type=jnp.int32)
+    off = 128 * 128 * k_in
+
+    def cdot(W, xc, s):
+        c = jnp.sum(W - 128, axis=1, keepdims=True)
+        return dot((W - 128).astype(jnp.int8), xc) + 128 * s + 128 * c + off
+
+    S_A = cdot(C_lo, x0c, s0) + cdot(D_lo, x1c, s1)
+    S_B = cdot(C_hi, x0c, s0) + cdot(D_hi, x1c, s1)
+    return S_A, S_B
+
+
+def _combine_dual(S_A, S_B, mods, n0, nlev: int):
+    """Dual plane accumulators -> (S_A + 2^8 S_B) * 2^-16 mod m, < m.
+
+    V = t + 2^16*B1 with t = S_A + (S_B_lo8 << 8) < ~2^24 and
+    B1 = S_B >> 8; ONE 16-bit REDC pass reduces t, B1 adds in directly,
+    and a short binary conditional-subtract chain (nlev levels, host-
+    computed via combine_levels from the exact accumulator bounds)
+    canonicalizes.  ~24 VPU ops against the 3-accumulator radix-2^32
+    pass's ~37."""
+    t = S_A.astype(jnp.uint32) + ((S_B.astype(jnp.uint32) & 0xFF) << 8)
+    B1 = (S_B >> 8).astype(jnp.uint32)
+    tl = t & MASK16
+    u = (tl * n0) & MASK16
+    um = u * mods
+    r = (t >> 16) + (um >> 16) + _carry16(tl) + B1
+    for lev in range(nlev - 1, -1, -1):
+        mm = mods << lev
+        r = jnp.where(r >= mm, r - mm, r)
+    return r
+
+
+@lru_cache(maxsize=8)
+def combine_levels(mbits: int) -> int:
+    """Binary subtract-chain depth for _combine_dual at this base:
+    smallest nlev with r_max < 2^nlev * min(channel modulus)."""
+    base = RnsBase.for_bits(mbits)
+    k = base.k
+    mods = list(base.mods_B_int) + list(base.mods_Bp_int) + [base.m_r]
+    t_max = 2 * k * 255 * 255 + 255 * 256
+    r_max = t_max // (1 << 16) + max(mods) + 1 + (2 * k * 255 * 255) // 256
+    ratio = -(-r_max // min(mods))
+    return max(1, (ratio - 1).bit_length())
+
+
 def _combine_planes(S00, mid, S11, mods, n032):
     """Byte-plane sums -> (true value)*2^-32 mod m, < m.
 
@@ -434,8 +565,8 @@ def _combine_planes(S00, mid, S11, mods, n032):
     A2 = (u & MASK16) * mods                 # u_lo * m
     Bm = (u >> 16) * mods                    # u_hi * m
     # T = (t + A2) + 2^16*(B1 + Bm), divisible by 2^32; the low 16 bits
-    # of t + A2 are exactly 0, so C1 below is exact
-    C1 = (t >> 16) + (A2 >> 16) + (((t & MASK16) + (A2 & MASK16)) >> 16)
+    # of t + A2 are exactly 0, so their carry is just (t_lo != 0)
+    C1 = (t >> 16) + (A2 >> 16) + _carry16(t & MASK16)
     r = ((C1 >> 16) + (B1 >> 16) + (Bm >> 16)
          + (((C1 & MASK16) + (B1 & MASK16) + (Bm & MASK16)) >> 16))
     return _csub(r, mods)
@@ -453,22 +584,24 @@ def rns_mont_mul(X, Y, base: RnsBase, key: RnsModulus):
     channel square/mul; xi on B; MXU-extend to B'+m_r; r' on B'+m_r;
     xi' on B'; MXU-extend back; SK offset from the redundant channel."""
     k = base.k
+    nlev = combine_levels(base.mbits)
     mods, n0 = base.mods, base.n0
     mB, n0B = mods[:k], n0[:k]
     mT, n0T = mods[k:], n0[k:]                          # B' ++ m_r
-    n32T = base.n032[k:]
     mR, n0R = mods[2 * k:], n0[2 * k:]
 
     S = _cmul(X, Y, mods, n0)                           # ch-Mont(s), CH rows
-    xi = _cmul(S[:k], key.K1, mB, n0B)                  # true xi, B rows
-    S00, mid, S11 = _plane_dots(xi, base.C1_lo, base.C1_hi)
-    Q = _combine_planes(S00, mid, S11, mT, n32T)        # q_hat * 2^-32
+    xi = _cmul_shoup(S[:k], key.K1s, key.K1sh, mB)      # true xi, B rows
+    S_A, S_B = _plane_dots_dual(xi, base.C1_lo, base.C1_hi,
+                                base.D1_lo, base.D1_hi)
+    Q = _combine_dual(S_A, S_B, mT, n0T, nlev)          # q_hat * 2^-16
     Rp = _cmul2(S[k:], key.u5, Q, key.v5, mT, n0T)      # ch-Mont(r'), B'+m_r
-    xip = _cmul(Rp[:k], base.K2g, mods[k:2 * k], n0[k:2 * k])
-    T00, tmid, T11 = _plane_dots(xip, base.C2_lo, base.C2_hi)
+    xip = _cmul_shoup(Rp[:k], base.K2s, base.K2sh, mods[k:2 * k])
+    T_A, T_B = _plane_dots_dual(xip, base.C2_lo, base.C2_hi,
+                                base.D2_lo, base.D2_hi)
     tgt_m = jnp.concatenate([mB, mR], axis=0)
-    tgt_n32 = jnp.concatenate([base.n032[:k], base.n032[2 * k:]], axis=0)
-    Zh = _combine_planes(T00, tmid, T11, tgt_m, tgt_n32)
+    tgt_n0 = jnp.concatenate([n0B, n0R], axis=0)
+    Zh = _combine_dual(T_A, T_B, tgt_m, tgt_n0, nlev)
     # SK offset from the redundant channel: delta = (r_hat - r') * M'^-1;
     # the correction folds into ONE paired product via w9n = -w9a*w9b/2^16
     a = _cmul(Zh[k:], base.exit_c[0:1], mR, n0R)        # r_hat * M'^-1
@@ -586,7 +719,7 @@ def _exit_limbs(Z, base: RnsBase):
     mR, n0R = mods[2 * k:], n0[2 * k:]
     B = Z.shape[1]
 
-    xi = _cmul(Z[:k], base.K1g, mods[:k], n0[:k])       # true xi
+    xi = _cmul_shoup(Z[:k], base.K1gs, base.K1gsh, mods[:k])  # true xi
     # limb-plane matmul: r_hat = sum xi_i * (M/m_i)
     S00, mid, S11 = _plane_dots(xi, base.W_lo, base.W_hi)
     lo = (mid & ((1 << 23) - 1)).astype(jnp.uint32)
