@@ -64,7 +64,7 @@ def tb_for(CH: int, window: int,
     """First batch-tile width in `tbs` whose window table + working set
     fits scoped VMEM (None if none does, or past the exactness bound)."""
     k = (CH - 1) // 2
-    if k > 900:      # exact-f32 MXU accumulation bound (rns.RnsBase)
+    if k >= 16500:   # int32 plane-accumulator bound (rns.RnsBase)
         return None
     CHP = _pad8(CH)
     rows = (1 << window) * CHP + _WORK_ROWS * CHP
@@ -108,18 +108,60 @@ def _pick_tb_mul(CH: int, B: int) -> int:
 # Host-side weight packing (cached per (base, key) identity).
 # ---------------------------------------------------------------------------
 
+# Contraction depths up to this fit EXACTLY in f32 with RAW [0, 255]
+# operands: every partial sum <= k*255^2 < 2^24.  Below it the kernel
+# skips centering entirely (no corrections, no digit column sums);
+# above it (3072/4096-bit n^2 bases) the centered scheme keeps partial
+# sums < 2^23.  258*255^2 = 16,776,450 < 2^24 = 16,777,216.
 def _center_stack(c_lo, c_hi, d_lo, d_hi):
-    """[C_lo; D_lo; C_hi; D_hi] byte planes -> centered bf16 matrix +
-    row-sum vector (quarters sliced back apart in _dots_c).
+    """Byte planes -> centered int8 stacks for STACKED-OUTPUT dots.
+
+    E = [[C_lo; C_hi] | [D_lo; D_hi]] as one (4o, k) matrix whose top
+    half contracts against x0 and bottom half against x1, each yielding
+    a stacked (2o, TB) [S_A; S_B] output — 2 MXU dispatches per
+    extension instead of 4 (fewer ragged 128-blocks at o=k+1~130).
+    int8 x int8 -> int32 rides the MXU at twice the bf16 rate and its
+    int32 accumulator is exact for any k < 2^17 (round-5: replaces the
+    bf16 scheme and retires its k <= 900 f32-exactness bound).
+    CS pre-folds ALL static correction terms:
+    128*(rowsum(C') + rowsum(D')) + 2*128^2*k.
 
     (Round-5 measured NEGATIVE: folding the digit column-sums into the
-    matmul via an appended ones row — 2 wide dots instead of 4 + VPU
-    reductions — was ~8% slower end-to-end, with or without
-    sublane-aligned output blocks.  The VPU reductions stay.)"""
-    E = np.concatenate([c_lo, d_lo, c_hi, d_hi],
-                       axis=0).astype(np.int32) - 128
-    CS = E.sum(axis=1, keepdims=True).astype(np.int32)
-    return E.astype(np.float32).astype(jnp.bfloat16), CS
+    matmul via an appended ones row was ~8% slower end-to-end; raw
+    [0,255] bf16 operands without corrections were ~0.4% — the
+    correction VPU work overlaps the serialized MXU dots.)"""
+    k_in = c_lo.shape[1]
+    EX = np.concatenate([c_lo, c_hi], axis=0).astype(np.int32) - 128
+    EY = np.concatenate([d_lo, d_hi], axis=0).astype(np.int32) - 128
+    E = np.concatenate([EX, EY], axis=0)
+    CS = (128 * (EX.sum(axis=1, keepdims=True)
+                 + EY.sum(axis=1, keepdims=True))
+          + 2 * 128 * 128 * k_in).astype(np.int32)
+    return E.astype(np.int8), CS
+
+
+def _dots_c(xi, E, CS, out_rows):
+    """Stacked-output centered-int8 dots of 16-bit digits xi (k_in, TB)
+    against E = [[C_lo; C_hi]'; [D_lo; D_hi]'] ((4*out_rows, k_in)
+    int8, D = 2^8 C mod m pre-folded).  Two MXU dispatches produce the
+    stacked [S_A; S_B]; CS carries every static correction.  Returns
+    exact int32 S_A, S_B (out_rows, TB), true dot = S_A + 2^8 S_B."""
+    k_in = E.shape[1]
+
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.int32)
+
+    o2 = 2 * out_rows
+    x0 = xi & 0xFF
+    x1 = xi >> 8
+    x0c = (x0.astype(jnp.int32) - 128).astype(jnp.int8)
+    x1c = (x1.astype(jnp.int32) - 128).astype(jnp.int8)
+    s0 = jnp.sum(x0.astype(jnp.int32), axis=0, keepdims=True) \
+        - 128 * k_in
+    s1 = jnp.sum(x1.astype(jnp.int32), axis=0, keepdims=True) \
+        - 128 * k_in
+    S = dot(E[:o2], x0c) + dot(E[o2:], x1c) + 128 * (s0 + s1) + CS
+    return S[:out_rows], S[out_rows:o2]
 
 
 # Bounded LRU keyed by (mbits, m): m is key-derived (p^2/q^2/n^2), so an
@@ -230,33 +272,6 @@ def kernel_operands(base: RnsBase, key: RnsModulus):
 # ---------------------------------------------------------------------------
 # Kernel.
 # ---------------------------------------------------------------------------
-
-def _dots_c(xi, E, CS, out_rows):
-    """Centered-bf16 plane dots of 16-bit digits xi (k_in, TB) against
-    the stacked matrix E = [C_lo'; D_lo'; C_hi'; D_hi'] ((4*out_rows,
-    k_in) bf16, D = 2^8 C mod m pre-folded).  Returns exact int32
-    S_A, S_B (out_rows, TB) with true dot = S_A + 2^8 S_B."""
-    k_in = E.shape[1]
-    x0 = (xi & 0xFF).astype(jnp.int32)
-    x1 = (xi >> 8).astype(jnp.int32)
-    x0c = (x0 - 128).astype(jnp.bfloat16)
-    x1c = (x1 - 128).astype(jnp.bfloat16)
-    s0 = jnp.sum(x0, axis=0, keepdims=True) - 128 * k_in
-    s1 = jnp.sum(x1, axis=0, keepdims=True) - 128 * k_in
-
-    def dot(a, b):
-        return jnp.dot(a, b, preferred_element_type=jnp.float32
-                       ).astype(jnp.int32)
-
-    o = out_rows
-    off = 128 * 128 * k_in
-    S_A = (dot(E[:o], x0c) + dot(E[o:2 * o], x1c)
-           + 128 * (s0 + s1) + 128 * (CS[:o] + CS[o:2 * o]) + 2 * off)
-    S_B = (dot(E[2 * o:3 * o], x0c) + dot(E[3 * o:], x1c)
-           + 128 * (s0 + s1) + 128 * (CS[2 * o:3 * o] + CS[3 * o:])
-           + 2 * off)
-    return S_A, S_B
-
 
 def _mul_val(X, Y, c, *, k, CH, CHP, nlev):
     """One RNS-Montgomery product on kernel values ((CHP, TB) uint32).

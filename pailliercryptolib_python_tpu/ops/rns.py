@@ -218,13 +218,11 @@ class RnsBase:
             pow(Mp % m_r, -1, m_r),
             1,
         ], dtype=np.uint32)[:, None]
-        # Plane-accumulator bounds (see _combine_planes): with the mid
-        # plane split at 2^23 the binding constraints are
-        # S00 < 2^31 (=> k < 33000, int32 dot) and exact f32
-        # accumulation in the bf16 MXU kernel (k*128^2 < 2^24 =>
-        # k <= 900, enforced at the Pallas dispatch via pallas_rns).
+        # Plane-accumulator bound: S_A/S_B < 2k*255^2 must fit int32
+        # (=> k < 16500) — both the XLA int8 dot_general path and the
+        # Pallas centered-int8 MXU kernel accumulate in int32 (the
+        # round-4 bf16 kernel's k <= 900 f32-exactness bound is gone).
         assert 2 * k * 255 * 255 < (1 << 31)
-        assert k <= 900, "f32-exact MXU accumulation bound"
         def shoup_col(vals, mlist):
             pairs = [_shoup_pair(int(v) * pow(1 << 16, -1, mi), mi)
                      for v, mi in zip(vals[:, 0], mlist)]
