@@ -1064,6 +1064,17 @@ class PrivateContext:
             digr = mg.exponent_digits([p - 1, q - 1], nwr, self.rns_window)
             self.rdig_p = jnp.asarray(digr[:, 0])
             self.rdig_q = jnp.asarray(digr[:, 1])
+            # sliding-window schedule (round 5): ~4% fewer chain muls —
+            # odd-power table (half the VMEM of the fixed window, so the
+            # window grows one bit), no multiplies-by-one on zero
+            # digits; fixed schedule length keeps HLO key-independent
+            from ..ops import pallas_rns as _prns
+            self.rns_sched_window = (_prns.plan_sched(self.rns_base.CH)
+                                     or self.rns_window)
+            self.rsched_p = jnp.asarray(_rns.sliding_schedule(
+                p - 1, self.rns_sched_window, ebits))
+            self.rsched_q = jnp.asarray(_rns.sliding_schedule(
+                q - 1, self.rns_sched_window, ebits))
 
         # Stage-1 residue fold (round 5): the mod-p^2/q^2 reductions of
         # the mod-n^2 Montgomery ciphertext run as ONE byte-plane MXU
@@ -1162,12 +1173,14 @@ class PrivateContext:
         from ..ops import rns as _rns
 
         B = base_m.shape[1] // 2
-        u_p = _rns.rns_crt_exp_half(base_m[:, :B], self.rdig_p,
-                                    self.rns_base, self.rns_p, self._sq_p,
-                                    self.rns_window, self.Lh)
-        u_q = _rns.rns_crt_exp_half(base_m[:, B:], self.rdig_q,
-                                    self.rns_base, self.rns_q, self._sq_q,
-                                    self.rns_window, self.Lh)
+        u_p = _rns.rns_crt_exp_sched(base_m[:, :B], self.rsched_p,
+                                     self.rns_base, self.rns_p,
+                                     self._sq_p, self.rns_sched_window,
+                                     self.Lh)
+        u_q = _rns.rns_crt_exp_sched(base_m[:, B:], self.rsched_q,
+                                     self.rns_base, self.rns_q,
+                                     self._sq_q, self.rns_sched_window,
+                                     self.Lh)
         return u_p, u_q
 
     def profile_stages(self, ct_mont: jnp.ndarray, b: int) -> dict:
@@ -1207,12 +1220,12 @@ class PrivateContext:
         }
         if self.use_rns:
             from ..ops import rns as _rns
-            stages["stage2_rns_p_half"] = lambda: _rns.rns_crt_exp_half(
-                base_m[:, :B], self.rdig_p, self.rns_base, self.rns_p,
-                self._sq_p, self.rns_window, self.Lh)
-            stages["stage2_rns_q_half"] = lambda: _rns.rns_crt_exp_half(
-                base_m[:, B:], self.rdig_q, self.rns_base, self.rns_q,
-                self._sq_q, self.rns_window, self.Lh)
+            stages["stage2_rns_p_half"] = lambda: _rns.rns_crt_exp_sched(
+                base_m[:, :B], self.rsched_p, self.rns_base, self.rns_p,
+                self._sq_p, self.rns_sched_window, self.Lh)
+            stages["stage2_rns_q_half"] = lambda: _rns.rns_crt_exp_sched(
+                base_m[:, B:], self.rsched_q, self.rns_base, self.rns_q,
+                self._sq_q, self.rns_sched_window, self.Lh)
         elif self._sq_p.wmu is not None:
             stages["stage2_exp_p_half"] = lambda: _crt_stage_exp_half(
                 base_m[:, :B], self._sq_p, self.dig_p, self.dec_window)

@@ -826,6 +826,88 @@ def rns_crt_exp_half(v_limbs, digits, base: RnsBase, key: RnsModulus,
     return rns_exit(Z, base, key, sq_ctx, L)
 
 
+# ---------------------------------------------------------------------------
+# Sliding-window shared-exponent chain (the production decrypt path).
+# ---------------------------------------------------------------------------
+
+def sched_len(ebits: int, window: int) -> int:
+    """Fixed (key-independent) sliding-window schedule length: worst
+    case over all exponents of <= ebits bits."""
+    return ebits + -(-ebits // window)
+
+
+def sliding_schedule(e: int, window: int, ebits: int) -> np.ndarray:
+    """Flat left-to-right sliding-window op schedule for e < 2^ebits.
+
+    Entries: 0 -> square the accumulator; t > 0 -> multiply by the odd
+    power c^(2t-1) (table index t-1).  FIXED length sched_len(ebits,
+    window) independent of e: front-padded with squarings of the
+    initial accumulator `one` (exact no-ops in the Montgomery domain),
+    so program shapes and HLO stay key-independent.  ~ebits/(window+1)
+    table muls instead of the fixed window's ebits/window, half the
+    table (odd entries only), and no multiplies-by-one on zero digits
+    (round-5 lever)."""
+    assert 0 <= e < (1 << ebits)
+    bits = bin(e)[2:] if e else "0"
+    ops = []
+    i, n = 0, len(bits)
+    while i < n:
+        if bits[i] == "0":
+            ops.append(0)
+            i += 1
+        else:
+            j = min(i + window, n)
+            while bits[j - 1] == "0":
+                j -= 1
+            ops.extend([0] * (j - i))
+            ops.append((int(bits[i:j], 2) + 1) // 2)
+            i = j
+    pad = sched_len(ebits, window) - len(ops)
+    assert pad >= 0
+    return np.array([0] * pad + ops, dtype=np.int32)
+
+
+def rns_exp_sched(X, sched, base: RnsBase, key: RnsModulus,
+                  window: int):
+    """Sliding-window shared-exponent chain: X the entered state (value
+    c*M), sched from sliding_schedule (traced).  Table holds only the
+    2^(window-1) ODD powers c^1, c^3, ...  Returns the state of
+    c^e * M.  TPU dispatches to the Pallas kernel; the jnp body is the
+    CPU/verification path (bit-identical, pad squarings included)."""
+    if mg._on_tpu():
+        from . import pallas_rns
+        if pallas_rns.sched_tb(base.CH, window, X.shape[1]):
+            return pallas_rns.rns_exp_sched_p(X, sched, base, key,
+                                              window)
+    B = X.shape[1]
+    tsize = 1 << (window - 1)
+    c2 = rns_mont_mul(X, X, base, key)
+    entries = [X]
+    for _ in range(tsize - 1):
+        entries.append(rns_mont_mul(entries[-1], c2, base, key))
+    table = jnp.stack(entries, axis=0)               # (tsize, CH, B)
+
+    def body(j, acc):
+        d = lax.dynamic_slice_in_dim(sched, j, 1, axis=0)[0].astype(
+            jnp.int32)
+        t = lax.dynamic_index_in_dim(table, jnp.maximum(d - 1, 0),
+                                     axis=0, keepdims=False)
+        operand = jnp.where(d == 0, acc, t)
+        return rns_mont_mul(acc, operand, base, key)
+
+    return lax.fori_loop(0, sched.shape[0], body,
+                         rns_one_state(base, key, B))
+
+
+@partial(jax.jit, static_argnames=("window", "L"))
+def rns_crt_exp_sched(v_limbs, sched, base: RnsBase, key: RnsModulus,
+                      sq_ctx, window: int, L: int):
+    """rns_crt_exp_half with the sliding-window schedule chain."""
+    X = rns_enter(v_limbs, base, key)
+    Z = rns_exp_sched(X, sched, base, key, window)
+    return rns_exit(Z, base, key, sq_ctx, L)
+
+
 def rns_exp_elem(X, digits, base: RnsBase, key: RnsModulus, window: int):
     """Per-element-exponent chain (the ct*pt path): digits (n_win, B)
     MSB-first base-2^window digits, one exponent per batch column.

@@ -92,3 +92,39 @@ def test_elem_kernel_matches_jnp_path():
     from pailliercryptolib_python_tpu.ops.limb import limbs_to_ints
     for cint, e, g in zip(cs, es, limbs_to_ints(np.asarray(out))):
         assert g == pow(cint, e, m)
+
+
+def test_sched_kernel_matches_jnp_path():
+    """Sliding-window schedule kernel (production decrypt stage 2) is
+    bit-identical to the jnp schedule interpreter, padding included."""
+    from pailliercryptolib_python_tpu.ops import pallas_rns
+    from pailliercryptolib_python_tpu.utils.fixtures import fixed_key_ints
+
+    mbits = 256
+    base = rns.RnsBase.for_bits(mbits)
+    kd = fixed_key_ints(256)
+    m = kd["p"] * kd["p"]
+    L = (m.bit_length() + 2 + 15) // 16
+    sq_ctx = mg.MontCtx.for_modulus(m, min_bits=LIMB_BITS * L, mxu=False)
+    L = sq_ctx.num_limbs
+    key = rns.RnsModulus.build(base, m, L)
+    R = 1 << (LIMB_BITS * L)
+
+    window = 5
+    e = kd["p"] - 1
+    sched = jnp.asarray(rns.sliding_schedule(e, window, e.bit_length()))
+
+    cs = [rng.randrange(m) for _ in range(9)]
+    v_limbs = jnp.asarray(ints_to_limbs([c * R % m for c in cs], L))
+    X = rns.rns_enter(v_limbs, base, key)
+
+    want = np.asarray(rns.rns_exp_sched(X, sched, base, key, window))
+    got = np.asarray(pallas_rns.rns_exp_sched_p(X, sched, base, key,
+                                                window))
+    assert got.shape == want.shape
+    assert np.array_equal(got, want), "sched kernel != jnp reference"
+
+    out = rns.rns_exit(jnp.asarray(got), base, key, sq_ctx, L)
+    from pailliercryptolib_python_tpu.ops.limb import limbs_to_ints
+    for c, g in zip(cs, limbs_to_ints(np.asarray(out))):
+        assert g == pow(c, e, m)

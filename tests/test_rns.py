@@ -277,3 +277,59 @@ def test_mont_reduce_wide_short_iters():
         for v, g in zip(vals, out):
             assert g % n == v * inv % n, f"short REDC iters={j}"
             assert g < 2 * n, f"short REDC bound iters={j}"
+
+
+@pytest.mark.parametrize("ebits", [64, 200])
+def test_exp_sched_oracle(ebits):
+    """Sliding-window schedule chain (the production decrypt path) vs
+    pow(): includes even exponents (trailing-zero squarings) and the
+    front no-op padding that keeps schedule length key-independent."""
+    mbits = 256
+    base = rns.RnsBase.for_bits(mbits)
+    from pailliercryptolib_python_tpu.utils.fixtures import fixed_key_ints
+    kd = fixed_key_ints(256)
+    m = kd["q"] * kd["q"]
+    L = (m.bit_length() + 2 + 15) // 16
+    sq_ctx = mg.MontCtx.for_modulus(m, min_bits=LIMB_BITS * L, mxu=False)
+    L = sq_ctx.num_limbs
+    key = rns.RnsModulus.build(base, m, L)
+    R = 1 << (LIMB_BITS * L)
+    window = 5
+    cs = [rng.randrange(m) for _ in range(8)]
+    v_limbs = jnp.asarray(ints_to_limbs([c * R % m for c in cs], L))
+    from pailliercryptolib_python_tpu.ops.limb import limbs_to_ints
+    # a short exponent exercises heavy padding; an even one, tail squares
+    for e in (rng.getrandbits(ebits) | (1 << (ebits - 1)),
+              (rng.getrandbits(ebits - 8) | (1 << (ebits - 9))) << 4):
+        sched = jnp.asarray(rns.sliding_schedule(e, window, ebits))
+        assert sched.shape[0] == rns.sched_len(ebits, window)
+        out = np.asarray(rns.rns_crt_exp_sched(v_limbs, sched, base, key,
+                                               sq_ctx, window, L))
+        got = limbs_to_ints(out)
+        for c, g in zip(cs, got):
+            assert g == pow(c, e, m), "sched modexp oracle"
+
+
+def test_sched_key_independent_hlo():
+    """rns_crt_exp_sched (the production stage-2 path) must lower to
+    identical HLO for the p- and q-halves of a key."""
+    from pailliercryptolib_python_tpu.models import paillier as sch
+    from pailliercryptolib_python_tpu.ops import rns as _rns
+    from pailliercryptolib_python_tpu.utils.fixtures import fixed_key_ints
+
+    kd = fixed_key_ints(256, enable_DJN=True)
+    pub = sch.PublicContext(kd["n"], kd["bits"], True, kd["hs"],
+                            kd["randbits"])
+    priv = sch.PrivateContext(pub, kd["p"], kd["q"])
+    if not priv.use_rns:
+        pytest.skip("rns engine disabled")
+    ct = pub.encrypt([1, 2, 3, 4], apply_obfuscator=False)
+    base_m = priv._stage_reduce(ct)
+    B = ct.shape[1]
+    lp = _rns.rns_crt_exp_sched.lower(
+        base_m[:, :B], priv.rsched_p, priv.rns_base, priv.rns_p,
+        priv._sq_p, priv.rns_sched_window, priv.Lh).as_text()
+    lq = _rns.rns_crt_exp_sched.lower(
+        base_m[:, B:], priv.rsched_q, priv.rns_base, priv.rns_q,
+        priv._sq_q, priv.rns_sched_window, priv.Lh).as_text()
+    assert lp == lq, "baked key-dependent constant in rns_crt_exp_sched"

@@ -254,6 +254,23 @@ def cmd_expshared(args, rng):
             return mg.to_mont(rnsm.rns_exit(Z, rbase, rkey, ctx, L), ctx)
 
         variants[f"expshared_rns_w{w}_k{rbase.k}"] = run_rns
+    if "rnssched" in args.variants:
+        # sliding-window schedule chain — the production decrypt path
+        from pailliercryptolib_python_tpu.ops import rns as rnsm
+        from pailliercryptolib_python_tpu.ops import pallas_rns as prns
+        mb = -(-m.bit_length() // 64) * 64
+        rbase = rnsm.RnsBase.for_bits(mb)
+        rkey = rnsm.RnsModulus.build(rbase, m, L)
+        ws = prns.plan_sched(rbase.CH) or w
+        sched = jnp.asarray(rnsm.sliding_schedule(e, ws, ebits))
+        X = rnsm.rns_enter(base, rbase, rkey)
+        X.block_until_ready()
+
+        def run_sched():
+            Z = rnsm.rns_exp_sched(X, sched, rbase, rkey, ws)
+            return mg.to_mont(rnsm.rns_exit(Z, rbase, rkey, ctx, L), ctx)
+
+        variants[f"expsched_rns_w{ws}_k{rbase.k}"] = run_sched
     nmod = nw * (w + 1)
     run_variants(variants, oracle, B // 128, nmod, iters=3)
 
