@@ -68,11 +68,11 @@ def tb_for(CH: int, window: int,
         return None
     CHP = _pad8(CH)
     rows = (1 << window) * CHP + _WORK_ROWS * CHP
-    # 8(k+1)k: the E1/E2 weight stacks doubled (4 quarters) vs the
-    # calibration that set _WORK_ROWS; charge the delta explicitly
-    ebytes = 8 * (k + 1) * k
+    # (the int8 4-quarter E stacks cost the same bytes as the round-4
+    # bf16 2-stacks the _WORK_ROWS calibration absorbed: 8(k+1)k either
+    # way, so no extra charge)
     for tb in tbs:
-        if 4 * tb * rows + ebytes <= _VMEM_BUDGET:
+        if 4 * tb * rows <= _VMEM_BUDGET:
             return tb
     return None
 
@@ -95,7 +95,7 @@ def sched_tb(CH: int, window: int, B: int) -> int | None:
     CHP = _pad8(CH)
     rows = ((1 << (window - 1)) + 1 + _WORK_ROWS) * CHP
     for tb in ((256, 128) if B >= 256 else (128,)):
-        if 4 * tb * rows + 8 * (k + 1) * k <= _VMEM_BUDGET:
+        if 4 * tb * rows <= _VMEM_BUDGET:
             return tb
     return None
 
@@ -123,9 +123,8 @@ def _pick_tb_mul(CH: int, B: int) -> int:
     3072/4096 channel counts — ~2x slower compiled code — so the pick
     must respect the same budget model as the chain kernels.)"""
     CHP = _pad8(CH)
-    k = (CH - 1) // 2
     for tb in ((256, 128) if B >= 256 else (128,)):
-        if 4 * tb * _MUL_WORK_ROWS * CHP + 8 * (k + 1) * k <= _VMEM_BUDGET:
+        if 4 * tb * _MUL_WORK_ROWS * CHP <= _VMEM_BUDGET:
             return tb
     return 128
 
@@ -226,8 +225,14 @@ def _pack_static(mbits: int):
                             np.asarray(base.D1_lo), np.asarray(base.D1_hi))
     E2, CS2 = _center_stack(np.asarray(base.C2_lo), np.asarray(base.C2_hi),
                             np.asarray(base.D2_lo), np.asarray(base.D2_hi))
-    return dict(vec=vec, skc=skc, E1=E1, CS1=CS1, E2=E2, CS2=CS2,
-                CHP=CHP)
+    # CS rides vec columns 10/11 (values in [0, 2^26] — exact through a
+    # u32 round-trip): a separate (2(k+1), 1) VMEM block lane-pads to
+    # 128 and wastes ~0.5 MB of scoped VMEM per extension at 4096-bit
+    # channel counts (the `one` vector rides column 9 for the same
+    # reason; the packing recovered the 4096 elem kernel's tb=128 fit)
+    vec[:CS1.shape[0], 10] = CS1[:, 0].astype(np.uint32)
+    vec[:CS2.shape[0], 11] = CS2[:, 0].astype(np.uint32)
+    return dict(vec=vec, skc=skc, E1=E1, E2=E2, CHP=CHP)
 
 
 def pack(mbits: int, m: int):
@@ -253,9 +258,8 @@ def pack(mbits: int, m: int):
     all_mods = (list(base.mods_B_int) + list(base.mods_Bp_int)
                 + [base.m_r])
     Mm = base.M % m
-    one = np.zeros((CHP, 1), dtype=np.uint32)
-    one[:CH, 0] = [(Mm % mc) * (1 << 16) % mc for mc in all_mods]
-    out = dict(s, vec=vec, one=one)
+    vec[:CH, 9] = [(Mm % mc) * (1 << 16) % mc for mc in all_mods]
+    out = dict(s, vec=vec)
     _PACK_CACHE[ck] = out
     while len(_PACK_CACHE) > _PACK_CACHE_MAX:
         _PACK_CACHE.popitem(last=False)
@@ -288,16 +292,29 @@ def kernel_operands(base: RnsBase, key: RnsModulus):
     c6 = pad_to(key.w9n[:, 0], 0)
     c7 = pad_to(key.w9b[:, 0], 0)
     c8 = pad_to(jnp.concatenate([key.K1sh[:, 0], base.K2sh[:, 0]]), 0)
+    c9 = pad_to(key.one_ch[:, 0], 0)
+    c10 = jnp.asarray(vb[:, 10])
+    c11 = jnp.asarray(vb[:, 11])
     zero = jnp.zeros_like(c3)
-    vec = jnp.stack(c012 + [c3, c4, c5, c6, c7, c8] + [zero] * 7,
-                    axis=1)
-    one = jnp.pad(key.one_ch, ((0, CHP - CH), (0, 0)))
-    return dict(s, vec=vec, one=one)
+    vec = jnp.stack(c012 + [c3, c4, c5, c6, c7, c8, c9, c10, c11]
+                    + [zero] * 4, axis=1)
+    return dict(s, vec=vec)
 
 
 # ---------------------------------------------------------------------------
 # Kernel.
 # ---------------------------------------------------------------------------
+
+def _unpack_c(vec, skc, E1, E2):
+    """vec columns + weight stacks -> the _mul_val constant tuple.
+    CS vectors decode from vec cols 10/11 (non-negative, < 2^26)."""
+    o2 = E1.shape[0] // 2
+    CS1 = vec[:o2, 10:11].astype(jnp.int32)
+    CS2 = vec[:o2, 11:12].astype(jnp.int32)
+    return (vec[:, 0:1], vec[:, 1:2], vec[:, 2:3], vec[:, 3:4],
+            vec[:, 4:5], vec[:, 5:6], vec[:, 6:7], vec[:, 7:8],
+            vec[:, 8:9], skc, E1, CS1, E2, CS2)
+
 
 def _mul_val(X, Y, c, *, k, CH, CHP, nlev):
     """One RNS-Montgomery product on kernel values ((CHP, TB) uint32).
@@ -329,20 +346,17 @@ def _mul_val(X, Y, c, *, k, CH, CHP, nlev):
     return jnp.concatenate([Z, Rp, pad], axis=0)
 
 
-def _rns_exp_kernel(dig_ref, x_ref, vec_ref, skc_ref, e1_ref, cs1_ref,
-                    e2_ref, cs2_ref, one_ref, o_ref, tab_scr, *,
+def _rns_exp_kernel(dig_ref, x_ref, vec_ref, skc_ref, e1_ref,
+                    e2_ref, o_ref, tab_scr, *,
                     window, k, CH, nlev):
     CHP, TB = x_ref.shape
     vec = vec_ref[...]
-    c = (vec[:, 0:1], vec[:, 1:2], vec[:, 2:3], vec[:, 3:4],
-         vec[:, 4:5], vec[:, 5:6], vec[:, 6:7], vec[:, 7:8],
-         vec[:, 8:9], skc_ref[...], e1_ref[...], cs1_ref[...],
-         e2_ref[...], cs2_ref[...])
+    c = _unpack_c(vec, skc_ref[...], e1_ref[...], e2_ref[...])
 
     def mul(x, y):
         return _mul_val(x, y, c, k=k, CH=CH, CHP=CHP, nlev=nlev)
 
-    one = jnp.broadcast_to(one_ref[...], (CHP, TB))
+    one = jnp.broadcast_to(vec[:, 9:10], (CHP, TB))
     base = x_ref[...]
     tsize = 1 << window
     tab_scr[0:CHP, :] = one
@@ -366,7 +380,7 @@ def _rns_exp_kernel(dig_ref, x_ref, vec_ref, skc_ref, e1_ref, cs1_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("window", "tb", "k", "CH", "nlev"))
-def _exp_call(x, digits, vec, skc, E1, CS1, E2, CS2, one, *, window,
+def _exp_call(x, digits, vec, skc, E1, E2, *, window,
               tb, k, CH, nlev):
     CHP = vec.shape[0]
     B = x.shape[1]
@@ -383,8 +397,7 @@ def _exp_call(x, digits, vec, skc, E1, CS1, E2, CS2, one, *, window,
         num_scalar_prefetch=1,
         grid=(BP // tb,),
         in_specs=[bs, ws(vec.shape), ws(skc.shape), ws(E1.shape),
-                  ws(CS1.shape), ws(E2.shape), ws(CS2.shape),
-                  ws(one.shape)],
+                  ws(E2.shape)],
         out_specs=bs,
         scratch_shapes=[
             pltpu.VMEM(((1 << window) * CHP, tb), jnp.uint32),
@@ -396,12 +409,12 @@ def _exp_call(x, digits, vec, skc, E1, CS1, E2, CS2, one, *, window,
         out_shape=jax.ShapeDtypeStruct((CHP, BP), jnp.uint32),
         grid_spec=grid_spec,
         interpret=INTERPRET,
-    )(digits, x, vec, skc, E1, CS1, E2, CS2, one)
+    )(digits, x, vec, skc, E1, E2)
     return out
 
 
 def _rns_exp_sched_kernel(dig_ref, x_ref, vec_ref, skc_ref, e1_ref,
-                          cs1_ref, e2_ref, cs2_ref, one_ref, o_ref,
+                          e2_ref, o_ref,
                           tab_scr, *, window, k, CH, nlev):
     """Sliding-window schedule chain: one modmul per schedule entry —
     0 squares the accumulator, t > 0 multiplies by the odd power
@@ -409,15 +422,12 @@ def _rns_exp_sched_kernel(dig_ref, x_ref, vec_ref, skc_ref, e1_ref,
     entries: base, then repeated mul by c^2 stored in the last slot)."""
     CHP, TB = x_ref.shape
     vec = vec_ref[...]
-    c = (vec[:, 0:1], vec[:, 1:2], vec[:, 2:3], vec[:, 3:4],
-         vec[:, 4:5], vec[:, 5:6], vec[:, 6:7], vec[:, 7:8],
-         vec[:, 8:9], skc_ref[...], e1_ref[...], cs1_ref[...],
-         e2_ref[...], cs2_ref[...])
+    c = _unpack_c(vec, skc_ref[...], e1_ref[...], e2_ref[...])
 
     def mul(x, y):
         return _mul_val(x, y, c, k=k, CH=CH, CHP=CHP, nlev=nlev)
 
-    one = jnp.broadcast_to(one_ref[...], (CHP, TB))
+    one = jnp.broadcast_to(vec[:, 9:10], (CHP, TB))
     base = x_ref[...]
     tsize = 1 << (window - 1)
     c2 = mul(base, base)
@@ -440,7 +450,7 @@ def _rns_exp_sched_kernel(dig_ref, x_ref, vec_ref, skc_ref, e1_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("window", "tb", "k", "CH", "nlev"))
-def _exp_sched_call(x, sched, vec, skc, E1, CS1, E2, CS2, one, *,
+def _exp_sched_call(x, sched, vec, skc, E1, E2, *,
                     window, tb, k, CH, nlev):
     CHP = vec.shape[0]
     B = x.shape[1]
@@ -457,8 +467,7 @@ def _exp_sched_call(x, sched, vec, skc, E1, CS1, E2, CS2, one, *,
         num_scalar_prefetch=1,
         grid=(BP // tb,),
         in_specs=[bs, ws(vec.shape), ws(skc.shape), ws(E1.shape),
-                  ws(CS1.shape), ws(E2.shape), ws(CS2.shape),
-                  ws(one.shape)],
+                  ws(E2.shape)],
         out_specs=bs,
         scratch_shapes=[
             pltpu.VMEM(((1 << (window - 1)) * CHP, tb), jnp.uint32),
@@ -470,7 +479,7 @@ def _exp_sched_call(x, sched, vec, skc, E1, CS1, E2, CS2, one, *,
         out_shape=jax.ShapeDtypeStruct((CHP, BP), jnp.uint32),
         grid_spec=grid_spec,
         interpret=INTERPRET,
-    )(sched, x, vec, skc, E1, CS1, E2, CS2, one)
+    )(sched, x, vec, skc, E1, E2)
     return out
 
 
@@ -484,14 +493,13 @@ def rns_exp_sched_p(X, sched, base: RnsBase, key: RnsModulus,
             f"rns_exp_sched_p: window {window} exceeds VMEM at CH={base.CH}")
     B = X.shape[1]
     out = _exp_sched_call(X, sched, p["vec"], p["skc"], p["E1"],
-                          p["CS1"], p["E2"], p["CS2"], p["one"],
-                          window=window, tb=tb, k=base.k, CH=base.CH,
-                          nlev=combine_levels(base.mbits))
+                          p["E2"], window=window, tb=tb, k=base.k,
+                          CH=base.CH, nlev=combine_levels(base.mbits))
     return out[:base.CH, :B]
 
 
 def _rns_exp_elem_kernel(x_ref, dig_ref, vec_ref, skc_ref, e1_ref,
-                         cs1_ref, e2_ref, cs2_ref, one_ref, o_ref,
+                         e2_ref, o_ref,
                          tab_scr, *, window, k, CH, nlev):
     """Per-element-exponent chain: digits arrive as a (n_win, TB) VMEM
     block; window-table selection is a tsize-pass one-hot mask-select
@@ -499,15 +507,12 @@ def _rns_exp_elem_kernel(x_ref, dig_ref, vec_ref, skc_ref, e1_ref,
     pallas_mont3._mm3_exp_kernel)."""
     CHP, TB = x_ref.shape
     vec = vec_ref[...]
-    c = (vec[:, 0:1], vec[:, 1:2], vec[:, 2:3], vec[:, 3:4],
-         vec[:, 4:5], vec[:, 5:6], vec[:, 6:7], vec[:, 7:8],
-         vec[:, 8:9], skc_ref[...], e1_ref[...], cs1_ref[...],
-         e2_ref[...], cs2_ref[...])
+    c = _unpack_c(vec, skc_ref[...], e1_ref[...], e2_ref[...])
 
     def mul(x, y):
         return _mul_val(x, y, c, k=k, CH=CH, CHP=CHP, nlev=nlev)
 
-    one = jnp.broadcast_to(one_ref[...], (CHP, TB))
+    one = jnp.broadcast_to(vec[:, 9:10], (CHP, TB))
     base = x_ref[...]
     tsize = 1 << window
     tab_scr[0:CHP, :] = one
@@ -534,7 +539,7 @@ def _rns_exp_elem_kernel(x_ref, dig_ref, vec_ref, skc_ref, e1_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("window", "tb", "k", "CH", "nlev"))
-def _exp_elem_call(x, digits, vec, skc, E1, CS1, E2, CS2, one, *,
+def _exp_elem_call(x, digits, vec, skc, E1, E2, *,
                    window, tb, k, CH, nlev):
     CHP = vec.shape[0]
     B = x.shape[1]
@@ -560,31 +565,27 @@ def _exp_elem_call(x, digits, vec, skc, E1, CS1, E2, CS2, one, *,
         out_shape=jax.ShapeDtypeStruct((CHP, BP), jnp.uint32),
         grid=(BP // tb,),
         in_specs=[bs, ds_, ws(vec.shape), ws(skc.shape), ws(E1.shape),
-                  ws(CS1.shape), ws(E2.shape), ws(CS2.shape),
-                  ws(one.shape)],
+                  ws(E2.shape)],
         out_specs=bs,
         scratch_shapes=[
             pltpu.VMEM(((1 << window) * CHP, tb), jnp.uint32),
         ],
         interpret=INTERPRET,
-    )(x, digits, vec, skc, E1, CS1, E2, CS2, one)
+    )(x, digits, vec, skc, E1, E2)
     return out
 
 
-def _rns_mul_kernel(a_ref, b_ref, vec_ref, skc_ref, e1_ref, cs1_ref,
-                    e2_ref, cs2_ref, o_ref, *, k, CH, nlev):
+def _rns_mul_kernel(a_ref, b_ref, vec_ref, skc_ref, e1_ref,
+                    e2_ref, o_ref, *, k, CH, nlev):
     """Single RNS-Montgomery product (the streamed encrypt-comb step)."""
     vec = vec_ref[...]
-    c = (vec[:, 0:1], vec[:, 1:2], vec[:, 2:3], vec[:, 3:4],
-         vec[:, 4:5], vec[:, 5:6], vec[:, 6:7], vec[:, 7:8],
-         vec[:, 8:9], skc_ref[...], e1_ref[...], cs1_ref[...],
-         e2_ref[...], cs2_ref[...])
+    c = _unpack_c(vec, skc_ref[...], e1_ref[...], e2_ref[...])
     o_ref[...] = _mul_val(a_ref[...], b_ref[...], c, k=k, CH=CH,
                           CHP=a_ref.shape[0], nlev=nlev)
 
 
 @functools.partial(jax.jit, static_argnames=("tb", "k", "CH", "nlev"))
-def _mul_call(a, b, vec, skc, E1, CS1, E2, CS2, *, tb, k, CH, nlev):
+def _mul_call(a, b, vec, skc, E1, E2, *, tb, k, CH, nlev):
     CHP = vec.shape[0]
     B = a.shape[1]
     BP = -(-B // tb) * tb
@@ -601,10 +602,10 @@ def _mul_call(a, b, vec, skc, E1, CS1, E2, CS2, *, tb, k, CH, nlev):
         out_shape=jax.ShapeDtypeStruct((CHP, BP), jnp.uint32),
         grid=(BP // tb,),
         in_specs=[bs, bs, ws(vec.shape), ws(skc.shape), ws(E1.shape),
-                  ws(CS1.shape), ws(E2.shape), ws(CS2.shape)],
+                  ws(E2.shape)],
         out_specs=bs,
         interpret=INTERPRET,
-    )(a, b, vec, skc, E1, CS1, E2, CS2)
+    )(a, b, vec, skc, E1, E2)
     return out
 
 
@@ -614,8 +615,8 @@ def rns_mul_p(A, B_state, base: RnsBase, key: RnsModulus,
     p = kernel_operands(base, key)
     B = A.shape[1]
     tb = tb or _pick_tb_mul(base.CH, B)
-    out = _mul_call(A, B_state, p["vec"], p["skc"], p["E1"], p["CS1"],
-                    p["E2"], p["CS2"], tb=tb, k=base.k, CH=base.CH,
+    out = _mul_call(A, B_state, p["vec"], p["skc"], p["E1"],
+                    p["E2"], tb=tb, k=base.k, CH=base.CH,
                     nlev=combine_levels(base.mbits))
     return out[:base.CH, :B]
 
@@ -630,9 +631,8 @@ def rns_exp_elem_p(X, digits, base: RnsBase, key: RnsModulus,
             f"rns_exp_elem_p: window {window} exceeds VMEM at CH={base.CH}")
     B = X.shape[1]
     out = _exp_elem_call(X, digits, p["vec"], p["skc"], p["E1"],
-                         p["CS1"], p["E2"], p["CS2"], p["one"],
-                         window=window, tb=tb, k=base.k, CH=base.CH,
-                         nlev=combine_levels(base.mbits))
+                         p["E2"], window=window, tb=tb, k=base.k,
+                         CH=base.CH, nlev=combine_levels(base.mbits))
     return out[:base.CH, :B]
 
 
@@ -650,8 +650,8 @@ def rns_exp_shared_p(X, digits, base: RnsBase, key: RnsModulus,
         raise ValueError(
             f"rns_exp_shared_p: window {window} exceeds VMEM at CH={base.CH}")
     B = X.shape[1]
-    out = _exp_call(X, digits, p["vec"], p["skc"], p["E1"], p["CS1"],
-                    p["E2"], p["CS2"], p["one"], window=window, tb=tb,
+    out = _exp_call(X, digits, p["vec"], p["skc"], p["E1"],
+                    p["E2"], window=window, tb=tb,
                     k=base.k, CH=base.CH,
                     nlev=combine_levels(base.mbits))
     return out[:base.CH, :B]
